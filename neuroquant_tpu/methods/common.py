@@ -1,0 +1,165 @@
+"""Shared pipeline machinery for the three CLI stages.
+
+The reference duplicates evaluate() in all three entry points
+(methods/regress.py:74-148, bit_assign.py:223-271, calibrate_network.py:82-145);
+here it is one function. Eval decodes are jitted with frames resident in HBM;
+FPS is wall-clock around block_until_ready on the decode only, the TPU
+equivalent of the reference's cuda.synchronize timing (models/HNeRV.py:67-68).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import random
+import time
+from datetime import datetime
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neuroquant_tpu.logging_utils import round_tensor
+from neuroquant_tpu.metrics import msssim_fn_single, psnr_fn_single
+from neuroquant_tpu.models import build_model, example_input, param_counts
+from neuroquant_tpu.schedules import data_split
+
+METRIC_NAMES = ["pred_seen_psnr", "pred_seen_ssim",
+                "pred_unseen_psnr", "pred_unseen_ssim"]
+
+
+def seed_all(seed: int = 903):
+    random.seed(seed)
+    np.random.seed(seed)
+    os.environ["PYTHONHASHSEED"] = str(seed)
+    return jax.random.PRNGKey(seed)
+
+
+def model_input(arch: str, frames, norm_idx, idx):
+    arch = arch.lower()
+    if arch == "nerv":
+        return norm_idx[idx]
+    return frames[idx]
+
+
+def setup_run(args, cfg, rng):
+    """Build model + params, count parameters, fix the hyperparameter-encoded
+    output directory (reference naming, regress.py:205-208)."""
+    model = build_model(args.arch, cfg)
+    params = model.init(rng, example_input(args.arch, cfg, cfg["batch_size"]))
+    final_size = cfg["crop_h"] * cfg["crop_w"]
+    enc_p, dec_p, tot_p = param_counts(args.arch, cfg, params, final_size,
+                                       args.full_data_length)
+    args.encoder_param, args.decoder_param, args.total_param = enc_p, dec_p, tot_p
+    args.outf = os.path.join(
+        args.outf,
+        f"Encoder_{round(enc_p, 2)}M_Decoder_{round(dec_p, 2)}M_Total_{round(tot_p, 2)}M")
+    return model, params
+
+
+def make_eval_fns(model, arch: str):
+    arch = arch.lower()
+
+    @jax.jit
+    def encode(params, x):
+        return model.apply(params, x, method="encode")
+
+    @jax.jit
+    def decode(params, emb):
+        return model.apply(params, emb, method="decode")
+
+    @jax.jit
+    def metrics(pred, img):
+        return psnr_fn_single(pred, img), msssim_fn_single(pred, img)
+
+    return encode, decode, metrics
+
+
+def evaluate(model, params, dataset, args, cfg, dump_vis: bool = False,
+             eval_fps: bool = False, visual_dir_name: str = "visualize_fp32"):
+    """Full-clip eval in frame order. Returns (results_list, (h, w),
+    embeddings) — embeddings concatenated in frame order become stage-3's
+    calibration data (calibrate_network.py:229)."""
+    encode, decode, metrics = make_eval_fns(model, args.arch)
+    frames, norm_idx = dataset.frames, dataset.norm_idx
+    n = len(dataset)
+    bs = cfg["batch_size"]
+    val_ind = set(args.val_ind_list)
+
+    if dump_vis:
+        visual_dir = os.path.join(args.outf, visual_dir_name)
+        logging.info(f"Saving predictions to {visual_dir}...")
+        os.makedirs(visual_dir, exist_ok=True)
+
+    metric_list = [[] for _ in METRIC_NAMES]
+    embeds, dec_times = [], []
+    n_batches = (n + bs - 1) // bs
+    fps = 0.0
+
+    for i in range(n_batches):
+        idx = jnp.arange(i * bs, min((i + 1) * bs, n))
+        inp = model_input(args.arch, frames, norm_idx, idx)
+        img = frames[idx]
+        emb = jax.block_until_ready(encode(params, inp))
+        t0 = time.time()
+        out = jax.block_until_ready(decode(params, emb))
+        dec_times.append(time.time() - t0)
+        embeds.append(emb)
+        if eval_fps:  # reference --eval_fps: 100 timed decodes (regress.py:106-110)
+            dec_times.pop()
+            for _ in range(100):
+                t0 = time.time()
+                out = jax.block_until_ready(decode(params, emb))
+                dec_times.append(time.time() - t0)
+
+        psnr, msssim = metrics(out, img)
+        psnr, msssim = np.asarray(psnr), np.asarray(msssim)
+        for bi, frame_id in enumerate(np.asarray(idx)):
+            start = 2 if int(frame_id) in val_ind else 0
+            metric_list[start + 0].append(psnr[bi])
+            metric_list[start + 1].append(msssim[bi])
+
+        if dump_vis:
+            from PIL import Image
+            arr = np.asarray(jnp.clip(out, 0, 1) * 255).astype(np.uint8)
+            for bi, frame_id in enumerate(np.asarray(idx)):
+                tag = str(round(float(psnr[bi]), 2))
+                Image.fromarray(arr[bi]).save(
+                    os.path.join(visual_dir, f"pred_{int(frame_id):04d}_{tag}.png"))
+
+        if i % args.print_freq == 0 or i == n_batches - 1:
+            avg_time = sum(dec_times) / len(dec_times)
+            fps = bs / avg_time
+            p = np.mean(metric_list[0]) if metric_list[0] else 0.0
+            s = np.mean(metric_list[1]) if metric_list[1] else 0.0
+            logging.info("[{}], Eval at Step [{}/{}], FPS {}, PSNR {}, MS-SSIM {}".format(
+                datetime.now().strftime("%Y/%m/%d %H:%M:%S"), i + 1, n_batches,
+                round(fps, 1), round(float(p), 2), round(float(s), 4)))
+
+    results = [np.mean(v) if len(v) else np.zeros(1) for v in metric_list]
+    args.fps = fps
+    h, w = cfg["crop_h"], cfg["crop_w"]
+    return results, (h, w), jnp.concatenate(embeds, axis=0)
+
+
+def split_dataset(args, dataset):
+    args.final_size = dataset.final_size
+    args.full_data_length = len(dataset)
+    split = [int(x) for x in args.data_split.split("_")]
+    train_ind, args.val_ind_list = data_split(
+        list(range(args.full_data_length)), split, False, 0)
+    return train_ind
+
+
+def exp_id(args, cfg) -> str:
+    return (f"{args.vid}_e{cfg['epoch']}_b{cfg['batch_size']}"
+            f"_lr{cfg['learning_rate']}_{cfg['loss']}")
+
+
+def best_metrics_str(results, best=None):
+    out, best = "", best or [0.0] * len(METRIC_NAMES)
+    for i, (name, value) in enumerate(zip(METRIC_NAMES, results)):
+        best[i] = max(best[i], float(np.max(value)))
+        digits = 2 if "psnr" in name else 4
+        out += f"best_{name}: {round(best[i], digits)} | "
+    return out, best

@@ -1,0 +1,108 @@
+"""HNeRV: ConvNeXt content encoder -> tiny embedding -> conv/pixel-shuffle
+decoder. TPU-native re-design of models/HNeRV.py:11-79 (NHWC, pure functions).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+from flax import linen as nn
+
+from neuroquant_tpu.models.layers import Conv2d, ConvNeXt, NeRVBlock, out_img
+from neuroquant_tpu.ops.pixelshuffle import pixel_shuffle
+
+
+@dataclasses.dataclass(frozen=True)
+class HNeRVConfig:
+    crop_h: int
+    crop_w: int
+    stage_block: int
+    enc_strides: Tuple[int, ...]
+    enc_channel: Tuple[int, ...]
+    dec_in_channel: int
+    dec_kernels: Tuple[int, ...]
+    dec_strides: Tuple[int, ...]
+    channel_reduce: float
+    channel_lbound: int
+    dec_norm: str
+    dec_acts: str
+    out_bias: str
+
+    @classmethod
+    def from_cfg(cls, cfg: dict) -> "HNeRVConfig":
+        assert list(cfg["enc_strides"]) == list(cfg["dec_strides"]), \
+            "HNeRV requires enc_strides == dec_strides (models/HNeRV.py:15)"
+        return cls(
+            crop_h=cfg["crop_h"], crop_w=cfg["crop_w"],
+            stage_block=int(cfg["stage_block"]),
+            enc_strides=tuple(cfg["enc_strides"]),
+            enc_channel=tuple(cfg["enc_channel"]),
+            dec_in_channel=int(cfg["dec_in_channel"]),
+            dec_kernels=tuple(cfg["dec_kernels"]),
+            dec_strides=tuple(cfg["dec_strides"]),
+            channel_reduce=float(cfg["channel_reduce"]),
+            channel_lbound=int(cfg["channel_lbound"]),
+            dec_norm=cfg["dec_norm"], dec_acts=cfg["dec_acts"],
+            out_bias=str(cfg["out_bias"]),
+        )
+
+    @property
+    def fc_h(self) -> int:
+        return int(np.prod(self.enc_strides)) // int(np.prod(self.dec_strides))
+
+    fc_w = fc_h
+
+    def decoder_channels(self):
+        chans, in_c = [], self.dec_in_channel
+        for _ in self.dec_strides:
+            out_c = int(max(round(in_c / self.channel_reduce), self.channel_lbound))
+            chans.append(out_c)
+            in_c = out_c
+        return chans
+
+    @property
+    def embed_hw(self) -> Tuple[int, int]:
+        s = int(np.prod(self.enc_strides))
+        return self.crop_h // s, self.crop_w // s
+
+
+class HNeRV(nn.Module):
+    cfg: HNeRVConfig
+
+    def setup(self):
+        c = self.cfg
+        self.encoder = ConvNeXt(stage_blocks=c.stage_block, strds=c.enc_strides,
+                                dims=c.enc_channel)
+        self.decoder0 = Conv2d(features=c.dec_in_channel, kernel_size=(1, 1))
+        blocks = []
+        for ks, stride, out_c in zip(c.dec_kernels, c.dec_strides,
+                                     c.decoder_channels()):
+            blocks.append(NeRVBlock(out_channel=out_c, kernel_size=ks,
+                                    stride=stride, norm=c.dec_norm,
+                                    act=c.dec_acts))
+        self.blocks = blocks
+        self.head_layer = Conv2d(features=3, kernel_size=(3, 3), padding=(1, 1))
+
+    def encode(self, img):
+        """NHWC frames -> (B, crop_h/prod(s), crop_w/prod(s), enc_channel[-1])."""
+        return self.encoder(img)
+
+    def decode(self, img_embed, return_embeds: bool = False):
+        c = self.cfg
+        embeds = [img_embed]
+        x = self.decoder0(img_embed)
+        embeds.append(x)
+        x = pixel_shuffle(x, (c.fc_h, c.fc_w))  # identity when strides match
+        for blk in self.blocks:
+            x = blk(x)
+            embeds.append(x)
+        x = self.head_layer(x)
+        img = out_img(x, c.out_bias)
+        if return_embeds:
+            return img, embeds
+        return img
+
+    def __call__(self, img):
+        return self.decode(self.encode(img))

@@ -1,0 +1,109 @@
+"""NeRV: frame-index -> positional embedding -> conv/pixel-shuffle decoder.
+
+TPU-native re-design of models/NeRV.py:11-72. The decoder is a pure function
+of (params, norm_idx); timing/embedding-harvest side channels are handled by
+the pipeline (jitted decode + block_until_ready), not inside the model.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+from flax import linen as nn
+
+from neuroquant_tpu.models.layers import (
+    Conv2d, NeRVBlock, PositionEncoding, out_img,
+)
+from neuroquant_tpu.ops.pixelshuffle import pixel_shuffle
+
+
+@dataclasses.dataclass(frozen=True)
+class NeRVConfig:
+    crop_h: int
+    crop_w: int
+    base: float
+    level: int
+    dec_in_channel: int
+    dec_kernels: Tuple[int, ...]
+    dec_strides: Tuple[int, ...]
+    channel_reduce: float
+    channel_lbound: int
+    dec_norm: str
+    dec_acts: str
+    out_bias: str
+
+    @classmethod
+    def from_cfg(cls, cfg: dict) -> "NeRVConfig":
+        return cls(
+            crop_h=cfg["crop_h"], crop_w=cfg["crop_w"],
+            base=float(cfg["base"]), level=int(cfg["level"]),
+            dec_in_channel=int(cfg["dec_in_channel"]),
+            dec_kernels=tuple(cfg["dec_kernels"]),
+            dec_strides=tuple(cfg["dec_strides"]),
+            channel_reduce=float(cfg["channel_reduce"]),
+            channel_lbound=int(cfg["channel_lbound"]),
+            dec_norm=cfg["dec_norm"], dec_acts=cfg["dec_acts"],
+            out_bias=str(cfg["out_bias"]),
+        )
+
+    @property
+    def fc_h(self) -> int:
+        return self.crop_h // int(np.prod(self.dec_strides))
+
+    @property
+    def fc_w(self) -> int:
+        return self.crop_w // int(np.prod(self.dec_strides))
+
+    def decoder_channels(self):
+        """Per-block output channels (models/NeRV.py:29-34 shrink rule)."""
+        chans, in_c = [], self.dec_in_channel
+        for _ in self.dec_strides:
+            out_c = int(max(round(in_c / self.channel_reduce), self.channel_lbound))
+            chans.append(out_c)
+            in_c = out_c
+        return chans
+
+
+class NeRV(nn.Module):
+    cfg: NeRVConfig
+
+    def setup(self):
+        c = self.cfg
+        self.encoder = PositionEncoding(base=c.base, level=c.level)
+        # decoder[0]: 1x1 conv expanding PE -> dec_in_channel * fc_h * fc_w
+        self.decoder0 = Conv2d(
+            features=c.dec_in_channel * c.fc_h * c.fc_w, kernel_size=(1, 1))
+        blocks = []
+        for ks, stride, out_c in zip(c.dec_kernels, c.dec_strides,
+                                     c.decoder_channels()):
+            blocks.append(NeRVBlock(out_channel=out_c, kernel_size=ks,
+                                    stride=stride, norm=c.dec_norm,
+                                    act=c.dec_acts))
+        self.blocks = blocks
+        self.head_layer = Conv2d(features=3, kernel_size=(3, 3), padding=(1, 1))
+
+    def encode(self, norm_idx):
+        """(B,) normalized frame indices -> (B, 1, 1, 2*level)."""
+        return self.encoder(norm_idx)
+
+    def decode(self, img_embed, return_embeds: bool = False):
+        c = self.cfg
+        embeds = [img_embed]
+        x = self.decoder0(img_embed)
+        # block-to-space shuffle of the fc grid (models/NeRV.py:50-51):
+        # channels (C, fc_h, fc_w) -> spatial, i.e. pixel shuffle (fc_h, fc_w)
+        x = pixel_shuffle(x, (c.fc_h, c.fc_w))
+        embeds.append(x)
+        for blk in self.blocks:
+            x = blk(x)
+            embeds.append(x)
+        x = self.head_layer(x)
+        img = out_img(x, c.out_bias)
+        if return_embeds:
+            return img, embeds
+        return img
+
+    def __call__(self, norm_idx):
+        return self.decode(self.encode(norm_idx))

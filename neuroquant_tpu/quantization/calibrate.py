@@ -1,0 +1,185 @@
+"""Network-wise PTQ calibration (NeuroQuant's key algorithm), TPU-first.
+
+Reference: quantization/calib_model.py:92-240. Two phases over ground-truth
+frames (not per-layer outputs — the paper's departure from BRECQ):
+
+  Phase 1 — optimize every quantizer's scale (delta) with Adam(lr=1e-3) for
+            int(0.05 * iters / steps_per_epoch) epochs, reconstruction loss only.
+  Phase 2 — swap every quantizer for AdaRound (alphas initialized from the
+            current rounding residues, deltas f16-cast) and optimize all alphas
+            with Adam(--lr) for int(iters/steps) - phase1 epochs, adding the
+            rounding regularizer weight * sum(1 - |2h(a)-1|^b) with
+            LinearTempDecay b: b_start -> b_end after `warmup * iters` steps.
+
+TPU design: the whole video + embeddings live in HBM; one epoch is a single
+jitted lax.scan over shuffled frame batches (no host<->device copies in the
+loop); phase switches are just different trainable-leaf subsets of the same
+QuantState, so each phase compiles exactly once. This is where the >=5x
+calibration speedup over the CUDA reference comes from.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from neuroquant_tpu.metrics import lp_loss
+from neuroquant_tpu.quantization.qmodel import (
+    adaround_upgrade, quantize_params, round_loss,
+)
+from neuroquant_tpu.quantization.spec import QuantSpec
+
+
+class LinearTempDecay:
+    """b: start_b until rel_start_decay * t_max, then linear to end_b
+    (reference: quantization/data_utils.py:24-41). jit-safe on traced t."""
+
+    def __init__(self, t_max: int, rel_start_decay: float = 0.2,
+                 start_b: int = 10, end_b: int = 2):
+        self.t_max = t_max
+        self.start_decay = rel_start_decay * t_max
+        self.start_b = start_b
+        self.end_b = end_b
+
+    def __call__(self, t):
+        rel_t = (t - self.start_decay) / (self.t_max - self.start_decay)
+        ramp = self.end_b + (self.start_b - self.end_b) * jnp.maximum(0.0, 1 - rel_t)
+        return jnp.where(t < self.start_decay, float(self.start_b), ramp)
+
+
+def _split_state(state: Dict, keys: Tuple[str, ...]):
+    train = {ln: {k: v for k, v in s.items() if k in keys}
+             for ln, s in state.items()}
+    frozen = {ln: {k: v for k, v in s.items() if k not in keys}
+              for ln, s in state.items()}
+    return train, frozen
+
+
+def _merge_state(train: Dict, frozen: Dict):
+    return {ln: {**frozen[ln], **train[ln]} for ln in frozen}
+
+
+def _run_phase(*, model, params, spec, state, cali_data, frames, train_ind,
+               trainable_keys, mode, opt, epochs, steps_per_epoch, batch_size,
+               p, rng, loss_extra=None, count_offset=0, log_every=500,
+               log_fn=logging.info, phase_name=""):
+    """Jit one epoch (scan over shuffled batches) and loop it on the host."""
+    if epochs <= 0:
+        return state, count_offset
+    train_ind = jnp.asarray(np.asarray(train_ind), jnp.int32)
+    tstate, frozen = _split_state(state, trainable_keys)
+    opt_state = opt.init(tstate)
+
+    def loss_at(tstate, idx, count):
+        st = _merge_state(tstate, frozen)
+        qp = quantize_params(params, spec, st, mode=mode, soft=True)
+        img = frames[idx]
+        inputs = cali_data[idx]
+        pred = model.apply(qp, inputs, method="decode")
+        rec = lp_loss(pred, img, p=p)
+        if loss_extra is not None:
+            rnd, b = loss_extra(st, count)
+        else:
+            rnd, b = 0.0, 0.0
+        return rec + rnd, (rec, rnd, b)
+
+    @jax.jit
+    def run_epoch(tstate, opt_state, count, erng):
+        perm = jax.random.permutation(erng, train_ind)
+        n_use = steps_per_epoch * batch_size            # drop_last=True
+        batches = perm[:n_use].reshape(steps_per_epoch, batch_size)
+
+        def step(carry, idx):
+            tstate, opt_state, count = carry
+            count = count + 1
+            (loss, aux), grads = jax.value_and_grad(loss_at, has_aux=True)(
+                tstate, idx, count)
+            updates, opt_state = opt.update(grads, opt_state, tstate)
+            tstate = optax.apply_updates(tstate, updates)
+            return (tstate, opt_state, count), (loss, *aux)
+
+        (tstate, opt_state, count), logs = jax.lax.scan(
+            step, (tstate, opt_state, count), batches)
+        return tstate, opt_state, count, logs
+
+    count = jnp.asarray(count_offset, jnp.int32)
+    next_log = log_every
+    for e in range(epochs):
+        rng, erng = jax.random.split(rng)
+        tstate, opt_state, count, logs = run_epoch(tstate, opt_state, count, erng)
+        # reproduce the reference's every-500-step loss lines (calib_model.py:86-88)
+        c_end = int(count)
+        c_start = c_end - steps_per_epoch
+        while next_log <= c_end:
+            i = next_log - c_start - 1
+            total, rec, rnd, b = (float(x[i]) for x in logs)
+            log_fn("Total loss:\t{:.4f} (rec:{:.4f}, round:{:.4f})\tb={:.2f}\tcount={}".format(
+                total, rec, rnd, b, next_log))
+            next_log += log_every
+    state = _merge_state(tstate, frozen)
+    state = jax.tree_util.tree_map(lambda x: x, state)
+    return state, int(count)
+
+
+def model_reconstruction(model, params, spec: QuantSpec, state: Dict,
+                         cali_data, frames, train_ind, arch: str = "hnerv",
+                         batch_size: int = 8, iters: int = 20000,
+                         weight: float = 0.01, opt_mode: str = "mse",
+                         b_range: Tuple[int, int] = (20, 2),
+                         warmup: float = 0.0, p: float = 2.0,
+                         lr: float = 0.0015, seed: int = 903,
+                         log_fn=logging.info):
+    """Returns (calibrated QuantState, mode='adaround'). After return, decode
+    quantized with quantize_params(..., mode='adaround', soft=False)."""
+    assert opt_mode == "mse", "network-wise calibration uses the mse objective"
+    rng = jax.random.PRNGKey(seed)
+    steps_per_epoch = len(train_ind) // batch_size
+    assert steps_per_epoch > 0, "batch_size larger than the training split"
+
+    # ---- Phase 1: scales (calib_model.py:120-167) ----
+    epochs1 = int(0.05 * iters / steps_per_epoch)
+    t0 = time.time()
+    rng, prng = jax.random.split(rng)
+    state, _ = _run_phase(
+        model=model, params=params, spec=spec, state=state,
+        cali_data=cali_data, frames=frames, train_ind=train_ind,
+        trainable_keys=("w_delta", "b_delta"), mode="uaq",
+        opt=optax.adam(0.001, eps=1e-8), epochs=epochs1,
+        steps_per_epoch=steps_per_epoch, batch_size=batch_size, p=p,
+        rng=prng, log_fn=log_fn, phase_name="phase1")
+    log_fn(f"[calib] phase 1 (delta): {epochs1} epochs x {steps_per_epoch} steps "
+           f"in {time.time() - t0:.1f}s")
+
+    # ---- Phase 2: AdaRound alphas (calib_model.py:169-228) ----
+    state = adaround_upgrade(params, spec, state)
+    temp = LinearTempDecay(iters, rel_start_decay=warmup,
+                           start_b=b_range[0], end_b=b_range[1])
+    loss_start = iters * warmup
+
+    def loss_extra(st, count):
+        b = temp(count)
+        active = count >= loss_start
+        b_eff = jnp.where(active, b, 0.0)
+        rnd = jnp.where(active, round_loss(st, spec, b, weight), 0.0)
+        return rnd, b_eff
+
+    epochs2 = int(iters / steps_per_epoch) - epochs1
+    t0 = time.time()
+    rng, prng = jax.random.split(rng)
+    state, count = _run_phase(
+        model=model, params=params, spec=spec, state=state,
+        cali_data=cali_data, frames=frames, train_ind=train_ind,
+        trainable_keys=("w_alpha", "b_alpha"), mode="adaround",
+        opt=optax.adam(lr, eps=1e-8), epochs=epochs2,
+        steps_per_epoch=steps_per_epoch, batch_size=batch_size, p=p,
+        rng=prng, loss_extra=loss_extra, log_fn=log_fn, phase_name="phase2")
+    dt = time.time() - t0
+    log_fn(f"[calib] phase 2 (alpha): {epochs2} epochs x {steps_per_epoch} steps "
+           f"in {dt:.1f}s ({epochs2 * steps_per_epoch / max(dt, 1e-9):.1f} iters/s)")
+    return state, "adaround"
