@@ -1,0 +1,148 @@
+"""Stage 2 — Omega mixed-precision bit allocation.
+
+CLI-compatible re-design of methods/bit_assign.py: evaluate the FP32 model
+(harvesting embeddings), then for each candidate bit vector build a QuantSpec,
+initialize scales, and score the perturbation with the Omega Hessian criterion
+(or diagonal Fisher); the lowest score wins. The Hessian-vector product is
+jax.jvp over jax.grad in a single jitted 10-batch scan (sensitivity.py) instead
+of the reference's per-batch double backward (bit_assign.py:57-118).
+
+Run:
+  python -m neuroquant_tpu.methods.bit_assign --config configs/HNeRV/Bunny_1280x640_3M.yaml \
+      --arch hnerv --data_path /root/reference/bunny --vid Bunny --outf hnerv \
+      --ckpt <epoch300.pth> --batch_size 2 --channel_wise --init max --mode omega
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+import time
+from datetime import datetime
+
+import jax
+import numpy as np
+
+from neuroquant_tpu.config import get_config, validate_config
+from neuroquant_tpu.data import VideoDataSet
+from neuroquant_tpu.logging_utils import setup_logger
+from neuroquant_tpu.methods import common
+from neuroquant_tpu.quantization import (
+    average_bits, init_quant_state, make_spec, sensitivity_criterion,
+)
+from neuroquant_tpu.utils.torch_compat import load_pth
+
+# toy candidate sets from the reference (bit_assign.py:27-36)
+HNERV_CANDIDATES = {
+    "candidate1": [2, 3, 4, 6, 4, 4, 2],
+    "candidate2": [6, 5, 4, 5, 5, 6, 6],
+}
+NERV_CANDIDATES = {
+    "candidate1": [5, 6, 3, 4, 5, 4, 3],
+    "candidate2": [6, 5, 5, 6, 7, 6, 7],
+}
+
+
+def parse_args(argv):
+    parser = argparse.ArgumentParser(
+        description="running parameters",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    parser.add_argument("--seed", default=903, type=int)
+    parser.add_argument("--outf", default="unify")
+    parser.add_argument("--config", type=str)
+    parser.add_argument("--arch", type=str)
+    parser.add_argument("-p", "--print-freq", default=50, type=int)
+    parser.add_argument("--data_path", type=str)
+    parser.add_argument("--vid", type=str)
+    parser.add_argument("--data_split", type=str, default="1_1_1")
+    parser.add_argument("--batch_size", default=12, type=int)
+    parser.add_argument("--hadamard", action="store_true")
+    parser.add_argument("--channel_wise", action="store_true")
+    parser.add_argument("--init", default="max", type=str,
+                        choices=["max", "mse", "gaussian", "l1", "l2"])
+    parser.add_argument("--mode", default="omega", type=str,
+                        choices=["omega", "fisher_diag"])
+    parser.add_argument("--ckpt", default="None", type=str)
+    parser.add_argument("--candidates", default="", type=str,
+                        help="optional: semicolon-separated bit lists, e.g. "
+                             "'6,5,4,5,5,6,6;2,3,4,6,4,4,2' (defaults to the "
+                             "reference's toy candidates)")
+    return parser.parse_args(argv)
+
+
+def assign(args, cfg):
+    common.seed_all(args.seed)
+    args.metric_names = common.METRIC_NAMES
+
+    dataset = VideoDataSet(cfg, args.data_path)
+    common.split_dataset(args, dataset)
+
+    rng = jax.random.PRNGKey(args.seed)
+    model, params = common.setup_run(args, cfg, rng)
+    args.outf = os.path.join(
+        args.outf, "sensitivity-{}_{}-init_batch{}_CW".format(
+            args.mode, args.init, args.batch_size))
+    os.makedirs(args.outf, exist_ok=True)
+    setup_logger(os.path.join(args.outf, time.strftime("%Y%m%d_%H%M%S") + ".log"))
+
+    assert args.ckpt != "None"
+    logging.info("=> loading checkpoint '{}'".format(args.ckpt))
+    params = load_pth(args.ckpt, args.arch, params)
+
+    logging.info("=======================Full-precision model========================")
+    print_str = "Evaluation ... \n {} Results for checkpoint: {}\n".format(
+        datetime.now().strftime("%Y_%m_%d_%H_%M_%S"), args.ckpt)
+    results, _, _ = common.evaluate(model, params, dataset, args, cfg)
+    s, _ = common.best_metrics_str(results)
+    logging.info(print_str + s)
+
+    if args.candidates:
+        candidate_dict = {
+            f"candidate{i + 1}": [int(b) for b in c.split(",")]
+            for i, c in enumerate(args.candidates.split(";"))}
+    elif args.arch == "hnerv":
+        candidate_dict = HNERV_CANDIDATES
+    elif args.arch == "nerv":
+        candidate_dict = NERV_CANDIDATES
+    else:
+        raise ValueError(f"no default candidates for arch {args.arch}")
+
+    best_score, best_candidate, best_bits = float("inf"), None, None
+    for candidate, bits in candidate_dict.items():
+        spec = make_spec(args.arch, cfg, channel_wise=args.channel_wise,
+                         scale_method=args.init,
+                         hadamard=args.hadamard).with_bits(bits)
+        state = init_quant_state(params, spec)
+        avg_bits = average_bits(params, spec)
+        logging.info(f"[{candidate}: {bits}] Average Quantization Bit-Width:\t"
+                     f"{avg_bits:.4f}")
+
+        score, _ = sensitivity_criterion(
+            args.mode, args.arch, model, params, spec, state,
+            dataset.frames, dataset.norm_idx, args.batch_size, seed=args.seed)
+        logging.info(f"[{candidate}: {bits}] The {args.mode} sensitivity "
+                     f"score =\t{score:.3e}")
+        if score < best_score:
+            best_score, best_candidate, best_bits = score, candidate, bits
+
+    logging.info("=" * 60)
+    logging.info(f"Best Candidate: {best_candidate}")
+    logging.info(f"Bit Configuration: {best_bits}")
+    logging.info(f"Minimum Score: {best_score:.4e}")
+    logging.info("=" * 60)
+    return best_candidate, best_bits, best_score
+
+
+def main(argv):
+    args = parse_args(argv)
+    cfg = validate_config(get_config(args.config), args.arch)
+    args.outf = os.path.join("results", args.outf)
+    args.exp_id = common.exp_id(args, cfg)
+    args.outf = os.path.join(args.outf, args.exp_id)
+    return assign(args, cfg)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

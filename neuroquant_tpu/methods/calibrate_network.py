@@ -1,0 +1,185 @@
+"""Stage 3 — network-wise PTQ calibration (scale + AdaRound vs GT frames).
+
+CLI-compatible re-design of methods/calibrate_network.py: evaluate FP32
+(harvesting the embedding calibration set), quantize with the given
+per-layer --precision, evaluate quant-off / quant-on-unoptimized, run the
+two-phase network-wise calibration (quantization/calibrate.py), evaluate
+quant-on-optimized, and save the quantized model artifact. The artifact is a
+pickle holding the torch-layout FP32 state dict plus the quantization spec,
+state, and integer codes — everything stage 4 (entropy coding) needs.
+
+Run:
+  python -m neuroquant_tpu.methods.calibrate_network --config configs/HNeRV/Bunny_1280x640_3M.yaml \
+      --arch hnerv --data_path /root/reference/bunny --vid Bunny --outf hnerv \
+      --ckpt <epoch300.pth> --precision 6 5 4 5 5 6 6 --hadamard --channel_wise \
+      --batch_size 2 --iters_w 21000 --lr 0.003 --warmup 0.2
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import pickle
+import sys
+import time
+from datetime import datetime
+
+import jax
+import numpy as np
+
+from neuroquant_tpu.config import get_config, validate_config
+from neuroquant_tpu.data import VideoDataSet
+from neuroquant_tpu.logging_utils import setup_logger
+from neuroquant_tpu.methods import common
+from neuroquant_tpu.quantization import (
+    QuantModel, average_bits, collect_int_codes, init_quant_state, make_spec,
+    model_reconstruction, quantize_params,
+)
+from neuroquant_tpu.utils.torch_compat import load_pth, params_to_state_dict
+
+
+def parse_args(argv):
+    parser = argparse.ArgumentParser(
+        description="running parameters",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    parser.add_argument("--seed", default=903, type=int)
+    parser.add_argument("--outf", default="unify")
+    parser.add_argument("--config", type=str)
+    parser.add_argument("--arch", type=str)
+    parser.add_argument("-p", "--print-freq", default=50, type=int)
+    parser.add_argument("--data_path", type=str)
+    parser.add_argument("--vid", type=str)
+    parser.add_argument("--data_split", type=str, default="1_1_1")
+    # quantization parameters (reference calibrate_network.py:42-58)
+    parser.add_argument("--batch_size", default=12, type=int)
+    parser.add_argument("--precision", type=int, nargs="+",
+                        default=[8, 8, 8, 8, 8, 8, 8])
+    parser.add_argument("--channel_wise", action="store_true")
+    parser.add_argument("--hadamard", action="store_true")
+    parser.add_argument("--iters_w", default=20000, type=int)
+    parser.add_argument("--weight", default=0.01, type=float)
+    parser.add_argument("--b_start", default=20, type=int)
+    parser.add_argument("--b_end", default=2, type=int)
+    parser.add_argument("--warmup", default=0.2, type=float)
+    parser.add_argument("--input_prob", default=1.0, type=float)
+    parser.add_argument("--lr", default=0.0015, type=float)
+    parser.add_argument("--norm_p", default=2.0, type=float)
+    parser.add_argument("--init", default="max", type=str,
+                        choices=["max", "mse", "gaussian", "l1", "l2"])
+    parser.add_argument("--opt_mode", default="mse", type=str,
+                        choices=["mse", "fisher_diag", "fisher_full", "lp_norm"])
+    parser.add_argument("--ckpt", default="None", type=str)
+    parser.add_argument("--dump_vis", action="store_true", default=False)
+    return parser.parse_args(argv)
+
+
+def _eval_block(title, model, params, dataset, args, cfg, dump_vis=False):
+    logging.info(f"======================={title}========================")
+    results, _, embeds = common.evaluate(
+        model, params, dataset, args, cfg, dump_vis,
+        visual_dir_name="visualize_calib_network")
+    print_str = "Evaluation ... \n {} \n".format(
+        datetime.now().strftime("%Y_%m_%d_%H_%M_%S"))
+    s, _ = common.best_metrics_str(results)
+    logging.info(print_str + s)
+    return results, embeds
+
+
+def calibrate(args, cfg):
+    common.seed_all(args.seed)
+    args.metric_names = common.METRIC_NAMES
+
+    dataset = VideoDataSet(cfg, args.data_path)
+    train_ind = common.split_dataset(args, dataset)
+
+    rng = jax.random.PRNGKey(args.seed)
+    model, params = common.setup_run(args, cfg, rng)
+    args.outf = os.path.join(
+        args.outf,
+        "network-wise_calib/hadamard-{}_{}-init_batch{}_CW_weight{}_brange{}-{}_warmup{}_lr{}".format(
+            args.hadamard, args.init, args.batch_size, args.weight,
+            args.b_start, args.b_end, args.warmup, args.lr))
+    os.makedirs(args.outf, exist_ok=True)
+    setup_logger(os.path.join(args.outf, time.strftime("%Y%m%d_%H%M%S") + ".log"))
+    logging.info("[PID] %s" % os.getpid())
+
+    assert args.ckpt != "None"
+    logging.info("=> loading checkpoint '{}'".format(args.ckpt))
+    params = load_pth(args.ckpt, args.arch, params)
+
+    # FP32 eval harvests the calibration embeddings in frame order
+    # (full loader shuffle=False, calibrate_network.py:154,229)
+    _, cali_data = _eval_block("Full-precision model", model, params,
+                               dataset, args, cfg, args.dump_vis)
+    logging.info("input embedding shape: {}".format(cali_data.shape))
+
+    spec = make_spec(args.arch, cfg, channel_wise=args.channel_wise,
+                     scale_method=args.init,
+                     hadamard=args.hadamard).with_bits(args.precision)
+    args.qbits = average_bits(params, spec)
+
+    init_start = time.time()
+    state = jax.block_until_ready(init_quant_state(params, spec))
+    logging.info("Init time: {}".format(time.time() - init_start))
+
+    _eval_block("Close quantization model", model, params, dataset, args, cfg)
+
+    qparams = quantize_params(params, spec, state, mode="uaq")
+    _eval_block("Weight quantization model w/o opt", model, qparams,
+                dataset, args, cfg)
+
+    logging.info("======================= Hyper Parameters =======================")
+    for k in ("init", "channel_wise", "seed", "iters_w", "batch_size",
+              "weight", "input_prob", "qbits"):
+        logging.info("{}: {}".format(k, getattr(args, k, None)))
+    logging.info(f"========================== {args.arch} ==========================")
+
+    start = datetime.now()
+    state, mode = model_reconstruction(
+        model, params, spec, state, cali_data, dataset.frames, train_ind,
+        arch=args.arch, batch_size=args.batch_size, iters=args.iters_w,
+        weight=args.weight, opt_mode="mse", b_range=(args.b_start, args.b_end),
+        warmup=args.warmup, p=args.norm_p, lr=args.lr, seed=args.seed)
+    logging.info(f"Training complete in: {str(datetime.now() - start)}")
+
+    qparams = quantize_params(params, spec, state, mode=mode, soft=False)
+    _eval_block("Weight quantization model w/ opt", model, qparams,
+                dataset, args, cfg, args.dump_vis)
+
+    # save the quantized artifact: fp32 state dict + spec + state + int codes
+    codes = collect_int_codes(params, spec, state, mode=mode)
+    artifact = {
+        "arch": args.arch,
+        "cfg": cfg,
+        "state_dict": params_to_state_dict(args.arch, params),
+        "quant_spec": {
+            "layer_names": spec.layer_names, "layer_paths": spec.layer_paths,
+            "n_bits": spec.n_bits, "channel_wise": spec.channel_wise,
+            "scale_method": spec.scale_method, "hadamard": spec.hadamard,
+            "sym": spec.sym,
+        },
+        "quant_state": jax.tree_util.tree_map(np.asarray, state),
+        "int_codes": jax.tree_util.tree_map(np.asarray, codes),
+        "avg_bits": float(args.qbits),
+    }
+    suffix = "CW" if args.channel_wise else "LW"
+    out_path = "{}/{}_W{}_prob{}_{}-init_{}.pth".format(
+        args.outf, args.arch, args.qbits, args.input_prob, args.init, suffix)
+    logging.info("save quantized model in {}".format(args.outf))
+    with open(out_path, "wb") as f:
+        pickle.dump(artifact, f)
+    return out_path, state, spec
+
+
+def main(argv):
+    args = parse_args(argv)
+    cfg = validate_config(get_config(args.config), args.arch)
+    args.outf = os.path.join("results", args.outf)
+    args.exp_id = common.exp_id(args, cfg)
+    args.outf = os.path.join(args.outf, args.exp_id)
+    return calibrate(args, cfg)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
