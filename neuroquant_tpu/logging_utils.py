@@ -18,6 +18,12 @@ def setup_logger(log_path: str) -> None:
     root = logging.getLogger()
     root.setLevel(logging.INFO)
 
+    # idempotent across pipeline stages in one process (the reference, being
+    # one process per stage, just stacks handlers)
+    for h in list(root.handlers):
+        if isinstance(h, (logging.FileHandler, logging.StreamHandler)):
+            root.removeHandler(h)
+
     fh = logging.FileHandler(log_path, encoding="utf-8")
     fh.setFormatter(fmt)
     root.addHandler(fh)

@@ -29,7 +29,13 @@ def psnr_fn_batch(output_list, gt):
 
 
 def msssim_fn_single(output, gt):
-    """Per-image MS-SSIM over a batch (utils.py:158-160)."""
+    """Per-image MS-SSIM over a batch (utils.py:158-160).
+
+    Frames too small for the 5-level pyramid score 0, mirroring the
+    reference's H < 160 guard (utils.py:181).
+    """
+    if min(output.shape[1], output.shape[2]) <= 160:
+        return jnp.zeros((output.shape[0],), jnp.float32)
     return ms_ssim(output, gt, data_range=1.0, size_average=False)
 
 
