@@ -162,6 +162,10 @@ def calibrate(args, cfg):
         "quant_state": jax.tree_util.tree_map(np.asarray, state),
         "int_codes": jax.tree_util.tree_map(np.asarray, codes),
         "avg_bits": float(args.qbits),
+        # per-frame embeddings: the content half of the bitstream for
+        # content-conditioned archs (stage 4 entropy-codes them)
+        "embeddings": (np.asarray(cali_data)
+                       if args.arch != "nerv" else None),
     }
     suffix = "CW" if args.channel_wise else "LW"
     out_path = "{}/{}_W{}_prob{}_{}-init_{}.pth".format(

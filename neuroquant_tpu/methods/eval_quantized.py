@@ -1,0 +1,122 @@
+"""Evaluate a calibrated/entropy-coded model: artifact (or bitstream) ->
+dequantized decoder -> PSNR/MS-SSIM/FPS.
+
+Closes the loop the reference leaves implicit (it pickles the whole torch
+QuantModel object, calibrate_network.py:305-308, and never ships a loader):
+reconstruct fake-quantized parameters from the saved QuantState — or, with
+--from_bitstream, decode the arithmetic-coded integer weights and rebuild the
+dequantized weights from codes + scales alone, proving the bitstream is a
+complete representation.
+
+Run:
+  python -m neuroquant_tpu.methods.eval_quantized --artifact <...pth> \
+      --data_path /root/reference/bunny [--from_bitstream <...nqtb>]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import pickle
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neuroquant_tpu.data import VideoDataSet
+from neuroquant_tpu.methods import common
+from neuroquant_tpu.models import build_model, example_input
+from neuroquant_tpu.ops.hadamard import fwht
+from neuroquant_tpu.quantization.qmodel import _get, _set, quantize_params
+from neuroquant_tpu.quantization.spec import QuantSpec
+from neuroquant_tpu.utils.torch_compat import state_dict_to_params
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser()
+    p.add_argument("--artifact", type=str, required=True)
+    p.add_argument("--data_path", type=str, required=True)
+    p.add_argument("--from_bitstream", type=str, default=None,
+                   help="reconstruct weights from this .nqtb stream instead "
+                        "of the saved QuantState")
+    p.add_argument("--data_split", type=str, default="1_1_1")
+    p.add_argument("-p", "--print-freq", default=50, type=int)
+    return p.parse_args(argv)
+
+
+def spec_from_artifact(artifact) -> QuantSpec:
+    qs = artifact["quant_spec"]
+    return QuantSpec(
+        layer_names=tuple(qs["layer_names"]),
+        layer_paths=tuple(tuple(p) for p in qs["layer_paths"]),
+        n_bits=tuple(qs["n_bits"]), channel_wise=qs["channel_wise"],
+        scale_method=qs["scale_method"], hadamard=qs["hadamard"],
+        sym=qs["sym"])
+
+
+def params_from_codes(params, spec: QuantSpec, codes: dict):
+    """Dequantize integer codes -> weights (inverse-FWHT if hadamard)."""
+    out = params
+    for name, path in zip(spec.layer_names, spec.layer_paths):
+        c = codes[name]
+        layer = dict(_get(params, path))
+        w_deq = (np.asarray(c["w"], np.float32) - np.asarray(c["w_zp"])) \
+            * np.asarray(c["w_delta"])
+        w_deq = jnp.asarray(w_deq)
+        if spec.hadamard:
+            cin = layer["kernel"].shape[2]
+            w_deq = fwht(w_deq, axis=2)[:, :, :cin, :]
+        b_deq = (np.asarray(c["b"], np.float32) - np.asarray(c["b_zp"])) \
+            * np.asarray(c["b_delta"])
+        layer["kernel"] = w_deq
+        layer["bias"] = jnp.asarray(b_deq)
+        out = _set(out, path, layer)
+    return out
+
+
+def main(argv):
+    args = parse_args(argv)
+    logging.basicConfig(stream=sys.stdout, level=logging.INFO)
+
+    with open(args.artifact, "rb") as f:
+        artifact = pickle.load(f)
+    arch, cfg = artifact["arch"], artifact["cfg"]
+    args.arch = arch
+    args.metric_names = common.METRIC_NAMES
+    args.outf = "."
+
+    dataset = VideoDataSet(cfg, args.data_path)
+    common.split_dataset(args, dataset)
+
+    model = build_model(arch, cfg)
+    params = model.init(jax.random.PRNGKey(0), example_input(arch, cfg, 1))
+    params = state_dict_to_params(arch, artifact["state_dict"], params)
+    spec = spec_from_artifact(artifact)
+
+    if args.from_bitstream:
+        from neuroquant_tpu.coding import decompress_artifact
+        with open(args.from_bitstream, "rb") as f:
+            stream = f.read()
+        decoded = decompress_artifact(stream)
+        # splice scales saved in the artifact codes (full fp32 fidelity)
+        codes = artifact["int_codes"]
+        for name in codes:
+            np.testing.assert_array_equal(decoded[name]["w"],
+                                          np.asarray(codes[name]["w"]))
+        qparams = params_from_codes(params, spec, codes)
+        logging.info("reconstructed weights from bitstream %s",
+                     args.from_bitstream)
+    else:
+        state = jax.tree_util.tree_map(jnp.asarray, artifact["quant_state"])
+        mode = "adaround" if "w_alpha" in next(iter(state.values())) else "uaq"
+        qparams = quantize_params(params, spec, state, mode=mode, soft=False)
+
+    results, _, _ = common.evaluate(model, qparams, dataset, args, cfg)
+    s, _ = common.best_metrics_str(results)
+    logging.info("Quantized eval: %s", s)
+    return results
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

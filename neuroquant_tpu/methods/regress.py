@@ -60,37 +60,71 @@ def parse_args(argv):
     parser.add_argument("--eval_only", action="store_true", default=False)
     parser.add_argument("--dump_vis", action="store_true", default=False)
     parser.add_argument("--eval_fps", action="store_true", default=False)
+    # QAT baselines (reference ships but never wires these quantizers,
+    # quantization/quantizer.py:326-375; reachable here)
+    parser.add_argument("--qat_mode", default="none", type=str,
+                        choices=["none", "ffnerv", "hinerv"],
+                        help="quantization-aware training of decoder weights")
+    parser.add_argument("--qat_bits", default=8, type=int)
     return parser.parse_args(argv)
 
 
+def _qat_transform(arch, cfg, mode, bits):
+    """params -> params with QAT-fake-quantized decoder conv weights."""
+    from neuroquant_tpu.models import quant_layer_paths
+    from neuroquant_tpu.ops.quant import qat_fake_quant
+    from neuroquant_tpu.quantization.qmodel import _get, _set
+
+    paths = quant_layer_paths(arch, cfg)
+
+    def transform(params, rng=None, training=True):
+        out = params
+        for i, path in enumerate(paths):
+            layer = dict(_get(params, path))
+            r = jax.random.fold_in(rng, i) if rng is not None else None
+            layer["kernel"] = qat_fake_quant(layer["kernel"], bits, mode,
+                                             rng=r, training=training)
+            out = _set(out, path, layer)
+        return out
+
+    return transform
+
+
 def make_train_epoch(model, arch, loss_type, opt, frames, norm_idx,
-                     steps_per_epoch, batch_size, train_ind):
+                     steps_per_epoch, batch_size, train_ind,
+                     qat_transform=None):
     """One jitted epoch: shuffle train indices, scan batches, Adam updates."""
     train_ind = jnp.asarray(train_ind, jnp.int32)
 
-    def step_loss(params, idx):
+    def step_loss(params, idx, qrng):
         inp = common.model_input(arch, frames, norm_idx, idx)
         img = frames[idx]
-        pred = model.apply(params, inp)
+        p = (qat_transform(params, rng=qrng, training=True)
+             if qat_transform is not None else params)
+        pred = model.apply(p, inp)
         return loss_fn(pred, img, loss_type), pred
 
     @jax.jit
     def run_epoch(params, opt_state, rng):
+        rng, qbase = jax.random.split(rng)
         perm = jax.random.permutation(rng, train_ind)
         batches = perm[:steps_per_epoch * batch_size].reshape(
             steps_per_epoch, batch_size)
 
-        def step(carry, idx):
+        def step(carry, inputs):
+            sidx, idx = inputs
             params, opt_state = carry
+            qrng = jax.random.fold_in(qbase, sidx)
             (loss, pred), grads = jax.value_and_grad(step_loss, has_aux=True)(
-                params, idx)
+                params, idx, qrng)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             psnr = psnr_fn_single(pred, frames[idx]).mean()
             return (params, opt_state), (loss, psnr)
 
         (params, opt_state), (losses, psnrs) = jax.lax.scan(
-            step, (params, opt_state), batches)
+            step, (params, opt_state),
+            (jnp.arange(steps_per_epoch), batches))
         return params, opt_state, losses, psnrs
 
     return run_epoch
@@ -144,9 +178,16 @@ def train(args, cfg):
     opt = optax.adam(schedule, eps=1e-8)
     opt_state = opt.init(params)
 
+    qat_transform = None
+    if getattr(args, "qat_mode", "none") != "none":
+        qat_transform = _qat_transform(args.arch, cfg, args.qat_mode,
+                                       args.qat_bits)
+        logging.info(f"QAT enabled: mode={args.qat_mode} bits={args.qat_bits}")
+
     run_epoch = make_train_epoch(model, args.arch, cfg["loss"], opt,
                                  dataset.frames, dataset.norm_idx,
-                                 steps_per_epoch, bs, train_ind)
+                                 steps_per_epoch, bs, train_ind,
+                                 qat_transform=qat_transform)
 
     start = datetime.now()
     logging.info(f"begin training on {jax.devices()[0].platform}:{jax.devices()[0]}")

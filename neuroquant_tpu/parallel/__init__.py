@@ -1,0 +1,3 @@
+from neuroquant_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh, replicate, shard_batch, data_parallel_step,
+)

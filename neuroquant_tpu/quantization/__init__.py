@@ -9,3 +9,6 @@ from neuroquant_tpu.quantization.calibrate import (  # noqa: F401
 from neuroquant_tpu.quantization.sensitivity import (  # noqa: F401
     sensitivity_criterion,
 )
+from neuroquant_tpu.quantization.calib_unit import (  # noqa: F401
+    block_reconstruction, layer_reconstruction,
+)

@@ -58,9 +58,14 @@ def _hadamard_weight(w_hwio):
     return fwht(pad_cin_to_pow2(w_hwio), axis=2)
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("spec",))
 def init_quant_state(params, spec: QuantSpec) -> Dict:
     """Eager scale init for every layer (replaces the reference's lazy
-    first-forward init, quantizer.py:111-114)."""
+    first-forward init, quantizer.py:111-114). Jitted as one program — on
+    tunneled-TPU setups per-op dispatch would otherwise dominate."""
     state = {}
     for name, path, bits in zip(spec.layer_names, spec.layer_paths, spec.n_bits):
         layer = _get(params, path)
@@ -73,6 +78,7 @@ def init_quant_state(params, spec: QuantSpec) -> Dict:
     return state
 
 
+@partial(jax.jit, static_argnames=("spec",))
 def adaround_upgrade(params, spec: QuantSpec, state: Dict) -> Dict:
     """Swap-in of AdaRound: add per-element alphas, f16-cast deltas/zps
     (calib_model.py:169-191, quantizer.py:259-317). Weight alphas live in the

@@ -109,24 +109,29 @@ class TestBitAssign:
         assert best_bits == [6, 6, 6, 6, 6]
 
 
+@pytest.fixture(scope="module")
+def calibrated(workdir, frame_dir, trained_ckpt):
+    from neuroquant_tpu.methods import calibrate_network
+    ckpt, cfg_path = trained_ckpt
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        out_path, state, spec = calibrate_network.main([
+            "--config", cfg_path, "--arch", "hnerv", "--data_path", frame_dir,
+            "--vid", "tiny", "--outf", "t3", "--ckpt", ckpt,
+            "--precision", "4", "4", "4", "4", "4", "--channel_wise",
+            "--hadamard", "--batch_size", "2", "--iters_w", "80",
+            "--b_start", "20", "--b_end", "2", "--warmup", "0.2",
+            "--lr", "0.003"])
+    finally:
+        os.chdir(cwd)
+    return str(workdir / out_path), state, spec
+
+
 class TestCalibrate:
     def test_network_calibration_recovers_psnr(self, workdir, frame_dir,
-                                               trained_ckpt):
-        from neuroquant_tpu.methods import calibrate_network
-        ckpt, cfg_path = trained_ckpt
-        cwd = os.getcwd()
-        os.chdir(workdir)
-        try:
-            out_path, state, spec = calibrate_network.main([
-                "--config", cfg_path, "--arch", "hnerv", "--data_path", frame_dir,
-                "--vid", "tiny", "--outf", "t3", "--ckpt", ckpt,
-                "--precision", "4", "4", "4", "4", "4", "--channel_wise",
-                "--hadamard", "--batch_size", "2", "--iters_w", "80",
-                "--b_start", "20", "--b_end", "2", "--warmup", "0.2",
-                "--lr", "0.003"])
-        finally:
-            os.chdir(cwd)
-        out_path = str(workdir / out_path)
+                                               trained_ckpt, calibrated):
+        out_path, state, spec = calibrated
         assert os.path.exists(out_path)
         with open(out_path, "rb") as f:
             artifact = pickle.load(f)
@@ -146,7 +151,36 @@ class TestCalibrate:
         # PSNR after optimization must beat the unoptimized quantized model
         import re
         psnrs = [float(m) for m in re.findall(r"best_pred_seen_psnr: ([\d.]+)", text)]
-        assert len(psnrs) == 4
-        fp32, qoff, qunopt, qopt = psnrs
+        assert len(psnrs) >= 4
+        fp32, qoff, qunopt, qopt = psnrs[:4]
         assert abs(qoff - fp32) < 0.2   # quant off == fp32 modulo eval noise
         assert qopt >= qunopt - 0.05, psnrs
+
+
+class TestCompress:
+    def test_bitstream_and_bpp(self, workdir, frame_dir, calibrated):
+        from neuroquant_tpu.methods import compress
+        out_path, _, _ = calibrated
+        report = compress.main(["--artifact", out_path,
+                                "--data_path", frame_dir])
+        assert os.path.exists(report["bitstream"])
+        assert 0 < report["bpp"] < 24.0
+        assert report["weight_stream_bytes"] > 0
+        # 4-bit codes + skewed dist: stream must be well under raw 4 bits/w
+        n_params = sum(
+            np.prod(np.asarray(c["w"]).shape) + len(np.asarray(c["b"]))
+            for c in pickle.load(open(out_path, "rb"))["int_codes"].values())
+        assert report["weight_stream_bytes"] * 8 < 4.3 * n_params
+
+    def test_eval_from_bitstream(self, workdir, frame_dir, calibrated):
+        from neuroquant_tpu.methods import compress, eval_quantized
+        out_path, _, _ = calibrated
+        stream_path = out_path + ".nqtb"
+        if not os.path.exists(stream_path):
+            compress.main(["--artifact", out_path, "--data_path", frame_dir])
+        results = eval_quantized.main([
+            "--artifact", out_path, "--data_path", frame_dir,
+            "--from_bitstream", stream_path, "-p", "50"])
+        assert float(np.max(results[0])) > 5.0  # decodes to real frames
+
+
