@@ -26,6 +26,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: repeated bench runs skip recompiles
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
     from neuroquant_tpu.data import VideoDataSet
     from neuroquant_tpu.models import build_model
     from neuroquant_tpu.quantization import init_quant_state, make_spec

@@ -136,6 +136,7 @@ def assign(args, cfg):
 
 
 def main(argv):
+    common.enable_persistent_cache()
     args = parse_args(argv)
     cfg = validate_config(get_config(args.config), args.arch)
     args.outf = os.path.join("results", args.outf)

@@ -71,6 +71,11 @@ def parse_args(argv):
                         choices=["mse", "fisher_diag", "fisher_full", "lp_norm"])
     parser.add_argument("--ckpt", default="None", type=str)
     parser.add_argument("--dump_vis", action="store_true", default=False)
+    # TPU extras
+    parser.add_argument("--compute_dtype", default="float32", type=str,
+                        choices=["float32", "bfloat16"],
+                        help="decode precision during calibration (quant "
+                             "math and loss stay fp32)")
     return parser.parse_args(argv)
 
 
@@ -135,12 +140,15 @@ def calibrate(args, cfg):
         logging.info("{}: {}".format(k, getattr(args, k, None)))
     logging.info(f"========================== {args.arch} ==========================")
 
+    import jax.numpy as jnp
     start = datetime.now()
     state, mode = model_reconstruction(
         model, params, spec, state, cali_data, dataset.frames, train_ind,
         arch=args.arch, batch_size=args.batch_size, iters=args.iters_w,
         weight=args.weight, opt_mode="mse", b_range=(args.b_start, args.b_end),
-        warmup=args.warmup, p=args.norm_p, lr=args.lr, seed=args.seed)
+        warmup=args.warmup, p=args.norm_p, lr=args.lr, seed=args.seed,
+        compute_dtype=(jnp.bfloat16 if args.compute_dtype == "bfloat16"
+                       else None))
     logging.info(f"Training complete in: {str(datetime.now() - start)}")
 
     qparams = quantize_params(params, spec, state, mode=mode, soft=False)
@@ -177,6 +185,7 @@ def calibrate(args, cfg):
 
 
 def main(argv):
+    common.enable_persistent_cache()
     args = parse_args(argv)
     cfg = validate_config(get_config(args.config), args.arch)
     args.outf = os.path.join("results", args.outf)

@@ -28,6 +28,17 @@ METRIC_NAMES = ["pred_seen_psnr", "pred_seen_ssim",
                 "pred_unseen_psnr", "pred_unseen_ssim"]
 
 
+def enable_persistent_cache(path: str = "/tmp/nq_jax_cache"):
+    """Persistent XLA compile cache — repeat pipeline runs skip recompiles
+    (compiles through a tunneled TPU can take minutes)."""
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception as e:  # pragma: no cover
+        logging.warning("persistent compile cache unavailable: %s", e)
+
+
 def seed_all(seed: int = 903):
     random.seed(seed)
     np.random.seed(seed)

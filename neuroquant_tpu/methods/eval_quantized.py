@@ -76,6 +76,7 @@ def params_from_codes(params, spec: QuantSpec, codes: dict):
 
 
 def main(argv):
+    common.enable_persistent_cache()
     args = parse_args(argv)
     logging.basicConfig(stream=sys.stdout, level=logging.INFO)
 

@@ -66,6 +66,10 @@ def parse_args(argv):
                         choices=["none", "ffnerv", "hinerv"],
                         help="quantization-aware training of decoder weights")
     parser.add_argument("--qat_bits", default=8, type=int)
+    parser.add_argument("--ckpt_freq", default=1, type=int,
+                        help="save model_latest.pth every N epochs (the "
+                             "reference saves every epoch; raise on tunneled "
+                             "TPU setups where device->host is slow)")
     return parser.parse_args(argv)
 
 
@@ -93,10 +97,14 @@ def _qat_transform(arch, cfg, mode, bits):
 def make_train_epoch(model, arch, loss_type, opt, frames, norm_idx,
                      steps_per_epoch, batch_size, train_ind,
                      qat_transform=None):
-    """One jitted epoch: shuffle train indices, scan batches, Adam updates."""
+    """One jitted epoch: shuffle train indices, scan batches, Adam updates.
+
+    `frames`/`norm_idx` flow through as jit arguments (closure capture would
+    embed the whole clip as an HLO constant — fatal at full resolution).
+    """
     train_ind = jnp.asarray(train_ind, jnp.int32)
 
-    def step_loss(params, idx, qrng):
+    def step_loss(params, frames, norm_idx, idx, qrng):
         inp = common.model_input(arch, frames, norm_idx, idx)
         img = frames[idx]
         p = (qat_transform(params, rng=qrng, training=True)
@@ -105,7 +113,7 @@ def make_train_epoch(model, arch, loss_type, opt, frames, norm_idx,
         return loss_fn(pred, img, loss_type), pred
 
     @jax.jit
-    def run_epoch(params, opt_state, rng):
+    def run_epoch_inner(params, opt_state, rng, frames, norm_idx):
         rng, qbase = jax.random.split(rng)
         perm = jax.random.permutation(rng, train_ind)
         batches = perm[:steps_per_epoch * batch_size].reshape(
@@ -116,7 +124,7 @@ def make_train_epoch(model, arch, loss_type, opt, frames, norm_idx,
             params, opt_state = carry
             qrng = jax.random.fold_in(qbase, sidx)
             (loss, pred), grads = jax.value_and_grad(step_loss, has_aux=True)(
-                params, idx, qrng)
+                params, frames, norm_idx, idx, qrng)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             psnr = psnr_fn_single(pred, frames[idx]).mean()
@@ -126,6 +134,9 @@ def make_train_epoch(model, arch, loss_type, opt, frames, norm_idx,
             step, (params, opt_state),
             (jnp.arange(steps_per_epoch), batches))
         return params, opt_state, losses, psnrs
+
+    def run_epoch(params, opt_state, rng):
+        return run_epoch_inner(params, opt_state, rng, frames, norm_idx)
 
     return run_epoch
 
@@ -228,7 +239,10 @@ def train(args, cfg):
                 print_str += f"{name}: {round(float(np.max(value)), digits)} | "
             logging.info(print_str)
 
-        save_pth(os.path.join(args.outf, "model_latest.pth"), args.arch, params)
+        if (epoch + 1) % getattr(args, "ckpt_freq", 1) == 0 \
+                or epoch == cfg["epoch"] - 1:
+            save_pth(os.path.join(args.outf, "model_latest.pth"),
+                     args.arch, params)
         if (epoch + 1) % cfg["epoch"] == 0:
             save_pth(os.path.join(args.outf, f"epoch{epoch + 1}.pth"),
                      args.arch, params)
@@ -238,6 +252,7 @@ def train(args, cfg):
 
 
 def main(argv):
+    common.enable_persistent_cache()
     args = parse_args(argv)
     cfg = validate_config(get_config(args.config), args.arch)
     args.outf = os.path.join("results", args.outf)

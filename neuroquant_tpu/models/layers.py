@@ -196,9 +196,56 @@ def norm_layer(norm_type: str, ch_width: int):
 # --------------------------------------------------------------------------
 # NeRV decode block: conv -> pixel-shuffle -> norm -> act.
 # --------------------------------------------------------------------------
+class UpsampleConv(nn.Module):
+    """Conv producing C_out*rh*rw channels + PixelShuffle(rh, rw), executed as
+    ONE transposed conv (ops/fused_upsample.py) so no shuffle copies hit HBM.
+
+    Parameter names/shapes are identical to Conv2d (kernel HWIO, bias), so
+    quantization specs and torch checkpoints are unaffected; set fused=False
+    for the literal conv + shuffle composition (same numerics to ~1e-5).
+    """
+
+    out_channel: int            # channels AFTER the shuffle
+    kernel_size: Tuple[int, int]
+    r: Tuple[int, int]          # (rh, rw) shuffle factors
+    use_bias: bool = True
+    fused: str | bool = "perm"  # 'perm' | 'dilated' | False (naive)
+
+    @nn.compact
+    def __call__(self, x):
+        from neuroquant_tpu.ops.fused_upsample import (
+            conv_pixel_shuffle, conv_pixel_shuffle_perm,
+        )
+
+        cin = x.shape[-1]
+        kh, kw = self.kernel_size
+        rh, rw = self.r
+        features = self.out_channel * rh * rw
+        kernel = self.param("kernel", torch_conv_kernel_init,
+                            (kh, kw, cin, features))
+        bias = None
+        if self.use_bias:
+            bias = self.param("bias", torch_bias_init(cin * kh * kw),
+                              (features,))
+        if self.fused == "perm":
+            return conv_pixel_shuffle_perm(x, kernel, bias, (rh, rw))
+        if self.fused == "dilated" or self.fused is True:
+            return conv_pixel_shuffle(x, kernel, bias, (rh, rw))
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+        p = ((kh - 1) // 2, (kw - 1) // 2)
+        y = jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), [(p[0], p[0]), (p[1], p[1])],
+            dimension_numbers=dn)
+        if bias is not None:
+            y = y + bias
+        return pixel_shuffle(y, (rh, rw))
+
+
 class NeRVBlock(nn.Module):
     """Conv2d(in, out*stride^2, k, pad=(k-1)//2) -> PixelShuffle(stride) ->
-    norm -> act (_layers.py:20-36). The conv is the quantization target."""
+    norm -> act (_layers.py:20-36). The conv is the quantization target; the
+    conv+shuffle pair runs as one fused transposed conv on TPU."""
 
     out_channel: int
     kernel_size: int
@@ -206,19 +253,19 @@ class NeRVBlock(nn.Module):
     norm: str = "none"
     act: str = "gelu"
     use_bias: bool = True
+    fused: str | bool = "perm"
 
     def setup(self):
         k = self.kernel_size
-        self.conv = Conv2d(
-            features=self.out_channel * self.stride * self.stride,
-            kernel_size=(k, k), strides=(1, 1),
-            padding=((k - 1) // 2, (k - 1) // 2), use_bias=self.use_bias)
+        self.conv = UpsampleConv(
+            out_channel=self.out_channel, kernel_size=(k, k),
+            r=(self.stride, self.stride), use_bias=self.use_bias,
+            fused=self.fused)
         self.norm_fn = norm_layer(self.norm, self.out_channel)
         self.act_fn = activation(self.act)
 
     def __call__(self, x):
         x = self.conv(x)
-        x = pixel_shuffle(x, self.stride)
         x = self.norm_fn(x)
         return self.act_fn(x)
 

@@ -14,9 +14,8 @@ import numpy as np
 from flax import linen as nn
 
 from neuroquant_tpu.models.layers import (
-    Conv2d, NeRVBlock, PositionEncoding, out_img,
+    Conv2d, NeRVBlock, PositionEncoding, UpsampleConv, out_img,
 )
-from neuroquant_tpu.ops.pixelshuffle import pixel_shuffle
 
 
 @dataclasses.dataclass(frozen=True)
@@ -72,9 +71,11 @@ class NeRV(nn.Module):
     def setup(self):
         c = self.cfg
         self.encoder = PositionEncoding(base=c.base, level=c.level)
-        # decoder[0]: 1x1 conv expanding PE -> dec_in_channel * fc_h * fc_w
-        self.decoder0 = Conv2d(
-            features=c.dec_in_channel * c.fc_h * c.fc_w, kernel_size=(1, 1))
+        # decoder[0]: 1x1 conv expanding PE -> dec_in_channel * fc_h * fc_w,
+        # fused with the layer-0 block-to-space shuffle (models/NeRV.py:50-51)
+        self.decoder0 = UpsampleConv(
+            out_channel=c.dec_in_channel, kernel_size=(1, 1),
+            r=(c.fc_h, c.fc_w))
         blocks = []
         for ks, stride, out_c in zip(c.dec_kernels, c.dec_strides,
                                      c.decoder_channels()):
@@ -91,10 +92,7 @@ class NeRV(nn.Module):
     def decode(self, img_embed, return_embeds: bool = False):
         c = self.cfg
         embeds = [img_embed]
-        x = self.decoder0(img_embed)
-        # block-to-space shuffle of the fc grid (models/NeRV.py:50-51):
-        # channels (C, fc_h, fc_w) -> spatial, i.e. pixel shuffle (fc_h, fc_w)
-        x = pixel_shuffle(x, (c.fc_h, c.fc_w))
+        x = self.decoder0(img_embed)   # conv + fc-grid shuffle, fused
         embeds.append(x)
         for blk in self.blocks:
             x = blk(x)

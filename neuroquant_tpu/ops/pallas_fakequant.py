@@ -1,0 +1,154 @@
+"""Pallas TPU kernel: fused Hadamard-domain fake-quantization of conv weights.
+
+The calibration/eval hot path quantizes weights as
+FWHT(C_in) -> uniform-affine (or AdaRound) fake-quant -> inverse FWHT
+(reference: quant_layer.py:67-81, with the README recommending a CUDA
+Hadamard kernel, readme.md:123). On TPU the natural formulation is matmuls:
+for C = C_in_pad <= a few hundred, the normalized Hadamard matrix H (C x C)
+lives in VMEM and the transform is X @ H on the MXU — so the whole chain
+becomes  (X @ H) -> VPU quant math -> (@ H)  in ONE kernel, one HBM round
+trip for the weight instead of three.
+
+Weights enter as (R, C) with R = C_out * KH * KW rows grouped C_out-major so
+the per-output-channel scale/zero-point broadcast as per-row vectors.
+`fused_fake_quant_hwio` handles the HWIO reshape/pad plumbing.
+
+Autodiff: a custom VJP reproduces the STE/AdaRound gradients of the jnp path
+(ops/quant.py), so the kernel is usable inside the jitted calibration loss
+as well as for inference.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from neuroquant_tpu.ops.hadamard import next_power_of_two
+
+
+def _hadamard_matrix(n: int) -> np.ndarray:
+    h = np.array([[1.0]], np.float32)
+    while h.shape[0] < n:
+        h = np.block([[h, h], [h, -h]])
+    return (h / math.sqrt(n)).astype(np.float32)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _fq_kernel(x_ref, h_ref, delta_ref, zp_ref, out_ref, *, n_levels: int,
+               hadamard: bool):
+    x = x_ref[:]
+    if hadamard:
+        x = jnp.dot(x, h_ref[:], preferred_element_type=jnp.float32)
+    delta = delta_ref[:]          # (TILE_R, 1)
+    zp = zp_ref[:]
+    q = jnp.clip(jnp.round(x / delta) + zp, 0.0, n_levels - 1.0)
+    deq = (q - zp) * delta
+    if hadamard:
+        deq = jnp.dot(deq, h_ref[:], preferred_element_type=jnp.float32)
+    out_ref[:] = deq
+
+
+def _ada_kernel(x_ref, h_ref, delta_ref, zp_ref, alpha_ref, out_ref, *,
+                n_levels: int, hadamard: bool, soft: bool):
+    x = x_ref[:]
+    if hadamard:
+        x = jnp.dot(x, h_ref[:], preferred_element_type=jnp.float32)
+    delta = delta_ref[:]
+    zp = zp_ref[:]
+    if soft:
+        h_alpha = jnp.clip(jax.nn.sigmoid(alpha_ref[:]) * 1.2 - 0.1, 0.0, 1.0)
+    else:
+        h_alpha = (alpha_ref[:] >= 0).astype(jnp.float32)
+    q = jnp.clip(jnp.floor(x / delta) + h_alpha + zp, 0.0, n_levels - 1.0)
+    deq = (q - zp) * delta
+    if hadamard:
+        deq = jnp.dot(deq, h_ref[:], preferred_element_type=jnp.float32)
+    out_ref[:] = deq
+
+
+def _pallas_fq_2d(x2, hmat, delta_rows, zp_rows, n_bits: int, hadamard: bool,
+                  alpha2=None, soft: bool = True, interpret: bool = False,
+                  tile_r: int = 256):
+    """x2: (R, C) padded weight view; delta/zp: (R, 1); alpha2: (R, C)|None."""
+    r, c = x2.shape
+    rp = _round_up(r, 8)
+    if rp != r:
+        pad = ((0, rp - r), (0, 0))
+        x2 = jnp.pad(x2, pad)
+        delta_rows = jnp.pad(delta_rows, pad, constant_values=1.0)
+        zp_rows = jnp.pad(zp_rows, pad)
+        if alpha2 is not None:
+            alpha2 = jnp.pad(alpha2, pad)
+    tile_r = min(tile_r, rp)
+    while rp % tile_r:
+        tile_r //= 2
+    grid = (rp // tile_r,)
+
+    row_spec = pl.BlockSpec((tile_r, c), lambda i: (i, 0))
+    one_spec = pl.BlockSpec((tile_r, 1), lambda i: (i, 0))
+    h_spec = pl.BlockSpec((c, c), lambda i: (0, 0))
+
+    if alpha2 is None:
+        kern = functools.partial(_fq_kernel, n_levels=2 ** n_bits,
+                                 hadamard=hadamard)
+        out = pl.pallas_call(
+            kern, grid=grid,
+            in_specs=[row_spec, h_spec, one_spec, one_spec],
+            out_specs=row_spec,
+            out_shape=jax.ShapeDtypeStruct((rp, c), jnp.float32),
+            interpret=interpret,
+        )(x2, hmat, delta_rows, zp_rows)
+    else:
+        kern = functools.partial(_ada_kernel, n_levels=2 ** n_bits,
+                                 hadamard=hadamard, soft=soft)
+        out = pl.pallas_call(
+            kern, grid=grid,
+            in_specs=[row_spec, h_spec, one_spec, one_spec, row_spec],
+            out_specs=row_spec,
+            out_shape=jax.ShapeDtypeStruct((rp, c), jnp.float32),
+            interpret=interpret,
+        )(x2, hmat, delta_rows, zp_rows, alpha2)
+    return out[:r]
+
+
+def fused_fake_quant_hwio(w_hwio, delta, zp, n_bits: int,
+                          hadamard: bool = True, alpha=None, soft: bool = True,
+                          interpret: bool | None = None):
+    """Fused (FWHT ->) fake-quant (-> inverse FWHT) of an HWIO conv weight.
+
+    delta/zp: per-channel (1,1,1,C_out) or scalars; alpha (AdaRound): the
+    quantization-domain tensor (KH, KW, C_in_pad, C_out) or None for UAQ.
+    Numerically equivalent to the jnp path in quantization/qmodel.py.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    kh, kw, cin, cout = w_hwio.shape
+    cpad = next_power_of_two(cin) if hadamard else cin
+    if cpad != cin:
+        w_hwio = jnp.pad(w_hwio, ((0, 0), (0, 0), (0, cpad - cin), (0, 0)))
+
+    # rows C_out-major: (C_out, KH, KW, C) -> (R, C)
+    x2 = w_hwio.transpose(3, 0, 1, 2).reshape(-1, cpad)
+    r = x2.shape[0]
+    per_row = kh * kw
+    d = jnp.broadcast_to(jnp.reshape(delta, (-1,)), (cout,))
+    z = jnp.broadcast_to(jnp.reshape(zp, (-1,)), (cout,))
+    delta_rows = jnp.repeat(d, per_row).reshape(r, 1)
+    zp_rows = jnp.repeat(z, per_row).reshape(r, 1)
+    alpha2 = None
+    if alpha is not None:
+        alpha2 = alpha.transpose(3, 0, 1, 2).reshape(-1, cpad)
+
+    hmat = jnp.asarray(_hadamard_matrix(cpad))
+    out2 = _pallas_fq_2d(x2, hmat, delta_rows, zp_rows, n_bits, hadamard,
+                         alpha2=alpha2, soft=soft, interpret=interpret)
+    out = out2.reshape(cout, kh, kw, cpad).transpose(1, 2, 3, 0)
+    return out[:, :, :cin, :]

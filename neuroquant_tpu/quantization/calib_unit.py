@@ -67,7 +67,7 @@ def harvest_unit_io(model, params, arch: str, spec: QuantSpec, cali_data,
     fc = (cfg.fc_h, cfg.fc_w)
 
     @jax.jit
-    def run(x):
+    def run(params, x):
         img, embeds = model.apply(params, x, method="decode",
                                   return_embeds=True)
         taps = {}
@@ -85,7 +85,7 @@ def harvest_unit_io(model, params, arch: str, spec: QuantSpec, cali_data,
     outs = None
     n = cali_data.shape[0]
     for s in range(0, n, batch_size):
-        taps = run(cali_data[s:s + batch_size])
+        taps = run(params, cali_data[s:s + batch_size])
         if outs is None:
             outs = {k: ([v[0]], [v[1]]) for k, v in taps.items()}
         else:
@@ -171,7 +171,9 @@ def unit_reconstruction(model, params, spec: QuantSpec, state: Dict,
                                    st["b_alpha"], bits, soft=True)
         return wq, bq
 
-    def loss_at(tr, idx, count):
+    # cached activations flow through as jit args (closure capture would
+    # embed them as HLO constants)
+    def loss_at(tr, x_fp, y_fp, idx, count):
         wq, bq = fq_unit(tr, count)
         pred = _apply_unit(x_fp[idx], wq, bq, stride, kernel_size, act)
         rec = lp_loss(pred, y_fp[idx], p=p)
@@ -184,11 +186,12 @@ def unit_reconstruction(model, params, spec: QuantSpec, state: Dict,
     rng = jax.random.PRNGKey(seed)
 
     @jax.jit
-    def run_chunk(tr, opt_state, count0, idxs):
+    def run_chunk(tr, opt_state, count0, idxs, x_fp, y_fp):
         def step(carry, idx):
             tr, opt_state, count = carry
             count = count + 1
-            (l, aux), g = jax.value_and_grad(loss_at, has_aux=True)(tr, idx, count)
+            (l, aux), g = jax.value_and_grad(loss_at, has_aux=True)(
+                tr, x_fp, y_fp, idx, count)
             updates, opt_state = opt.update(g, opt_state, tr)
             tr = optax.apply_updates(tr, updates)
             return (tr, opt_state, count), l
@@ -203,7 +206,8 @@ def unit_reconstruction(model, params, spec: QuantSpec, state: Dict,
         todo = min(chunk, iters - done)
         rng, r = jax.random.split(rng)
         idxs = jax.random.randint(r, (todo, batch_size), 0, n_cached)
-        tr, opt_state, count, losses = run_chunk(tr, opt_state, count, idxs)
+        tr, opt_state, count, losses = run_chunk(tr, opt_state, count, idxs,
+                                                 x_fp, y_fp)
         done += todo
         log_fn(f"[unit {unit_idx} {name}] iter {done}/{iters} "
                f"loss {float(losses[-1]):.5f}")

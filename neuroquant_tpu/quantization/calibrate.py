@@ -68,7 +68,7 @@ def _merge_state(train: Dict, frozen: Dict):
 def _run_phase(*, model, params, spec, state, cali_data, frames, train_ind,
                trainable_keys, mode, opt, epochs, steps_per_epoch, batch_size,
                p, rng, loss_extra=None, count_offset=0, log_every=500,
-               log_fn=logging.info, phase_name=""):
+               log_fn=logging.info, phase_name="", compute_dtype=None):
     """Jit one epoch (scan over shuffled batches) and loop it on the host."""
     if epochs <= 0:
         return state, count_offset
@@ -76,12 +76,21 @@ def _run_phase(*, model, params, spec, state, cali_data, frames, train_ind,
     tstate, frozen = _split_state(state, trainable_keys)
     opt_state = opt.init(tstate)
 
-    def loss_at(tstate, idx, count):
+    # NOTE: frames/cali_data/params are explicit jit arguments, never closure
+    # captures — closing over them would embed gigabytes of video as HLO
+    # constants (huge trace memory + compile payloads).
+    def loss_at(tstate, frozen, params, frames, cali_data, idx, count):
         st = _merge_state(tstate, frozen)
         qp = quantize_params(params, spec, st, mode=mode, soft=True)
         img = frames[idx]
         inputs = cali_data[idx]
-        pred = model.apply(qp, inputs, method="decode")
+        if compute_dtype is not None:
+            # run the decode in reduced precision (quant math stays fp32);
+            # gradients w.r.t. qstate flow through the cast
+            qp = jax.tree_util.tree_map(
+                lambda x: x.astype(compute_dtype), qp)
+            inputs = inputs.astype(compute_dtype)
+        pred = model.apply(qp, inputs, method="decode").astype(jnp.float32)
         rec = lp_loss(pred, img, p=p)
         if loss_extra is not None:
             rnd, b = loss_extra(st, count)
@@ -90,7 +99,8 @@ def _run_phase(*, model, params, spec, state, cali_data, frames, train_ind,
         return rec + rnd, (rec, rnd, b)
 
     @jax.jit
-    def run_epoch(tstate, opt_state, count, erng):
+    def run_epoch(tstate, frozen, opt_state, count, erng, params, frames,
+                  cali_data):
         perm = jax.random.permutation(erng, train_ind)
         n_use = steps_per_epoch * batch_size            # drop_last=True
         batches = perm[:n_use].reshape(steps_per_epoch, batch_size)
@@ -99,7 +109,7 @@ def _run_phase(*, model, params, spec, state, cali_data, frames, train_ind,
             tstate, opt_state, count = carry
             count = count + 1
             (loss, aux), grads = jax.value_and_grad(loss_at, has_aux=True)(
-                tstate, idx, count)
+                tstate, frozen, params, frames, cali_data, idx, count)
             updates, opt_state = opt.update(grads, opt_state, tstate)
             tstate = optax.apply_updates(tstate, updates)
             return (tstate, opt_state, count), (loss, *aux)
@@ -112,7 +122,8 @@ def _run_phase(*, model, params, spec, state, cali_data, frames, train_ind,
     next_log = log_every
     for e in range(epochs):
         rng, erng = jax.random.split(rng)
-        tstate, opt_state, count, logs = run_epoch(tstate, opt_state, count, erng)
+        tstate, opt_state, count, logs = run_epoch(
+            tstate, frozen, opt_state, count, erng, params, frames, cali_data)
         # reproduce the reference's every-500-step loss lines (calib_model.py:86-88)
         c_end = int(count)
         c_start = c_end - steps_per_epoch
@@ -134,9 +145,14 @@ def model_reconstruction(model, params, spec: QuantSpec, state: Dict,
                          b_range: Tuple[int, int] = (20, 2),
                          warmup: float = 0.0, p: float = 2.0,
                          lr: float = 0.0015, seed: int = 903,
-                         log_fn=logging.info):
+                         log_fn=logging.info, compute_dtype=None):
     """Returns (calibrated QuantState, mode='adaround'). After return, decode
-    quantized with quantize_params(..., mode='adaround', soft=False)."""
+    quantized with quantize_params(..., mode='adaround', soft=False).
+
+    compute_dtype=jnp.bfloat16 runs the decode in bf16 (quant math and the
+    loss stay fp32) — ~15% faster on v5e with negligible calibration-quality
+    impact (the optimization only needs small-perturbation gradients).
+    """
     assert opt_mode == "mse", "network-wise calibration uses the mse objective"
     rng = jax.random.PRNGKey(seed)
     steps_per_epoch = len(train_ind) // batch_size
@@ -152,7 +168,8 @@ def model_reconstruction(model, params, spec: QuantSpec, state: Dict,
         trainable_keys=("w_delta", "b_delta"), mode="uaq",
         opt=optax.adam(0.001, eps=1e-8), epochs=epochs1,
         steps_per_epoch=steps_per_epoch, batch_size=batch_size, p=p,
-        rng=prng, log_fn=log_fn, phase_name="phase1")
+        rng=prng, log_fn=log_fn, phase_name="phase1",
+        compute_dtype=compute_dtype)
     log_fn(f"[calib] phase 1 (delta): {epochs1} epochs x {steps_per_epoch} steps "
            f"in {time.time() - t0:.1f}s")
 
@@ -178,7 +195,8 @@ def model_reconstruction(model, params, spec: QuantSpec, state: Dict,
         trainable_keys=("w_alpha", "b_alpha"), mode="adaround",
         opt=optax.adam(lr, eps=1e-8), epochs=epochs2,
         steps_per_epoch=steps_per_epoch, batch_size=batch_size, p=p,
-        rng=prng, loss_extra=loss_extra, log_fn=log_fn, phase_name="phase2")
+        rng=prng, loss_extra=loss_extra, log_fn=log_fn, phase_name="phase2",
+        compute_dtype=compute_dtype)
     dt = time.time() - t0
     log_fn(f"[calib] phase 2 (alpha): {epochs2} epochs x {steps_per_epoch} steps "
            f"in {dt:.1f}s ({epochs2 * steps_per_epoch / max(dt, 1e-9):.1f} iters/s)")

@@ -61,7 +61,9 @@ def sensitivity_criterion(mode: str, arch: str, model, params,
     n_batches = min(MAX_BATCHES, n // batch_size)
     batches = perm[:n_batches * batch_size].reshape(n_batches, batch_size)
 
-    def loss_fn(kernels, idx):
+    # frames/norm_idx/params pass as jit args (closure capture would embed
+    # the full clip in the HLO)
+    def loss_fn(kernels, params, frames, norm_idx, idx):
         p = _with_kernels(params, spec, kernels)
         img = frames[idx]
         if arch == "hnerv" or arch.startswith("pnerv"):
@@ -74,28 +76,29 @@ def sensitivity_criterion(mode: str, arch: str, model, params,
 
     if mode == "omega":
         @jax.jit
-        def accumulate(kernels, vec, batches):
+        def accumulate(kernels, vec, batches, params, frames, norm_idx):
             def body(acc, idx):
-                _, hv = jax.jvp(lambda k: jax.grad(loss_fn)(k, idx),
-                                (kernels,), (vec,))
+                _, hv = jax.jvp(
+                    lambda k: jax.grad(loss_fn)(k, params, frames, norm_idx, idx),
+                    (kernels,), (vec,))
                 return jax.tree_util.tree_map(jnp.add, acc, hv), None
             zero = jax.tree_util.tree_map(jnp.zeros_like, kernels)
             acc, _ = jax.lax.scan(body, zero, batches)
             return acc
 
-        hvp = accumulate(kernels, vec, batches)
+        hvp = accumulate(kernels, vec, batches, params, frames, norm_idx)
         per_layer = [float(jnp.sum(hvp[ln] * vec[ln])) for ln in spec.layer_names]
     elif mode == "fisher_diag":
         @jax.jit
-        def accumulate(kernels, batches):
+        def accumulate(kernels, batches, params, frames, norm_idx):
             def body(acc, idx):
-                g = jax.grad(loss_fn)(kernels, idx)
+                g = jax.grad(loss_fn)(kernels, params, frames, norm_idx, idx)
                 return jax.tree_util.tree_map(jnp.add, acc, g), None
             zero = jax.tree_util.tree_map(jnp.zeros_like, kernels)
             acc, _ = jax.lax.scan(body, zero, batches)
             return acc
 
-        g = accumulate(kernels, batches)
+        g = accumulate(kernels, batches, params, frames, norm_idx)
         per_layer = [float(jnp.sum(vec[ln] ** 2 * g[ln] ** 2))
                      for ln in spec.layer_names]
     else:
