@@ -1,0 +1,181 @@
+"""Fused upsample-conv equivalence, Pallas fake-quant kernel (interpret mode),
+unit (block/layer) reconstruction, and data-parallel mesh tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neuroquant_tpu.ops.fused_upsample import (
+    conv_pixel_shuffle, conv_pixel_shuffle_perm,
+)
+from neuroquant_tpu.ops.pixelshuffle import pixel_shuffle
+
+
+def _naive(x, w, b, r):
+    k = w.shape[0]
+    p = (k - 1) // 2
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(x, w, (1, 1), [(p, p), (p, p)],
+                                     dimension_numbers=dn) + b
+    return pixel_shuffle(y, r)
+
+
+class TestFusedUpsample:
+    @pytest.mark.parametrize("k,rh,rw", [(1, 5, 5), (3, 2, 2), (5, 2, 2),
+                                         (3, 4, 4), (1, 2, 4), (1, 1, 1)])
+    def test_both_fused_paths_match_naive(self, k, rh, rw):
+        rng = np.random.RandomState(0)
+        cin, cout = 6, 3
+        x = jnp.asarray(rng.randn(2, 4, 5, cin).astype(np.float32))
+        w = jnp.asarray(rng.randn(k, k, cin, cout * rh * rw).astype(np.float32))
+        b = jnp.asarray(rng.randn(cout * rh * rw).astype(np.float32))
+        want = _naive(x, w, b, (rh, rw))
+        got_perm = conv_pixel_shuffle_perm(x, w, b, (rh, rw))
+        got_dil = conv_pixel_shuffle(x, w, b, (rh, rw))
+        np.testing.assert_allclose(np.asarray(got_perm), np.asarray(want), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got_dil), np.asarray(want), atol=1e-4)
+
+    def test_gradients_match(self):
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(1, 4, 4, 5).astype(np.float32))
+        w = jnp.asarray(rng.randn(3, 3, 5, 3 * 4).astype(np.float32))
+        b = jnp.asarray(rng.randn(12).astype(np.float32))
+        g_naive = jax.grad(lambda w: (_naive(x, w, b, 2) ** 2).sum())(w)
+        g_perm = jax.grad(
+            lambda w: (conv_pixel_shuffle_perm(x, w, b, 2) ** 2).sum())(w)
+        np.testing.assert_allclose(np.asarray(g_perm), np.asarray(g_naive),
+                                   rtol=1e-4, atol=1e-4)
+
+
+class TestPallasFakeQuant:
+    """Interpret-mode checks of the fused FWHT->quant->FWHT kernel against
+    the jnp path in quantization/qmodel.py."""
+
+    def _jnp_reference(self, w, delta, zp, bits, hadamard, alpha=None, soft=True):
+        from neuroquant_tpu.ops import quant as Q
+        from neuroquant_tpu.ops.hadamard import fwht, pad_cin_to_pow2
+        cin = w.shape[2]
+        x = fwht(pad_cin_to_pow2(w), axis=2) if hadamard else w
+        if alpha is None:
+            xq = Q.uaq_fake_quant(x, delta, zp, bits)
+        else:
+            xq = Q.adaround_fake_quant(x, delta, zp, alpha, bits, soft=soft)
+        if hadamard:
+            xq = fwht(xq, axis=2)[:, :, :cin, :]
+        return xq
+
+    @pytest.mark.parametrize("hadamard", [True, False])
+    def test_uaq_kernel(self, hadamard):
+        from neuroquant_tpu.ops.pallas_fakequant import fused_fake_quant_hwio
+        from neuroquant_tpu.ops import quant as Q
+        from neuroquant_tpu.ops.hadamard import fwht, pad_cin_to_pow2
+
+        w = jax.random.normal(jax.random.PRNGKey(0), (3, 3, 5, 6))
+        dom = fwht(pad_cin_to_pow2(w), axis=2) if hadamard else w
+        delta, zp = Q.init_weight_scale(dom, 4, True, "max")
+        got = fused_fake_quant_hwio(w, delta, zp, 4, hadamard=hadamard,
+                                    interpret=True)
+        want = self._jnp_reference(w, delta, zp, 4, hadamard)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_adaround_kernel(self):
+        from neuroquant_tpu.ops.pallas_fakequant import fused_fake_quant_hwio
+        from neuroquant_tpu.ops import quant as Q
+        from neuroquant_tpu.ops.hadamard import fwht, pad_cin_to_pow2
+
+        w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 8, 4))
+        dom = fwht(w, axis=2)
+        delta, zp = Q.init_weight_scale(dom, 6, True, "max")
+        alpha = Q.adaround_init_alpha(dom, delta)
+        for soft in (True, False):
+            got = fused_fake_quant_hwio(w, delta, zp, 6, hadamard=True,
+                                        alpha=alpha, soft=soft, interpret=True)
+            want = self._jnp_reference(w, delta, zp, 6, True, alpha, soft)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-3, atol=1e-3)
+
+
+class TestUnitReconstruction:
+    def test_block_recon_improves_block_output(self, tiny_hnerv_cfg):
+        from neuroquant_tpu.models import build_model, example_input
+        from neuroquant_tpu.quantization import init_quant_state, make_spec
+        from neuroquant_tpu.quantization.calib_unit import (
+            block_reconstruction, harvest_unit_io,
+        )
+        from neuroquant_tpu.quantization.qmodel import quantize_params
+
+        model = build_model("hnerv", tiny_hnerv_cfg)
+        x = example_input("hnerv", tiny_hnerv_cfg, 4)
+        params = model.init(jax.random.PRNGKey(0), x)
+        emb = model.apply(params, x, method="encode")
+        spec = make_spec("hnerv", tiny_hnerv_cfg, channel_wise=True,
+                         scale_method="max").with_bits([3] * 5)
+        state = init_quant_state(params, spec)
+
+        state2 = block_reconstruction(model, params, spec, state, 1, emb,
+                                      iters=120, batch_size=2, lr=0.01,
+                                      log_fn=lambda m: None)
+        assert "w_alpha" in state2[spec.layer_names[1]]
+        # the other layers' state is untouched
+        assert "w_alpha" not in state2[spec.layer_names[0]]
+
+    def test_layer_recon_runs(self, tiny_hnerv_cfg):
+        from neuroquant_tpu.models import build_model, example_input
+        from neuroquant_tpu.quantization import init_quant_state, make_spec
+        from neuroquant_tpu.quantization.calib_unit import layer_reconstruction
+
+        model = build_model("hnerv", tiny_hnerv_cfg)
+        x = example_input("hnerv", tiny_hnerv_cfg, 2)
+        params = model.init(jax.random.PRNGKey(0), x)
+        emb = model.apply(params, x, method="encode")
+        spec = make_spec("hnerv", tiny_hnerv_cfg, channel_wise=True,
+                         scale_method="max").with_bits([4] * 5)
+        state = init_quant_state(params, spec)
+        state2 = layer_reconstruction(model, params, spec, state, 0, emb,
+                                      iters=60, batch_size=2,
+                                      log_fn=lambda m: None)
+        assert "w_alpha" in state2[spec.layer_names[0]]
+
+
+class TestDataParallel:
+    def test_dryrun_multichip_8(self):
+        import __graft_entry__ as g
+        g.dryrun_multichip(8)
+
+    def test_sharded_matches_single(self, tiny_hnerv_cfg):
+        """DP gradient step over 4 virtual devices == single-device step."""
+        import optax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from neuroquant_tpu.metrics import loss_fn
+        from neuroquant_tpu.models import build_model
+        from neuroquant_tpu.parallel import make_mesh, replicate, shard_batch
+
+        model = build_model("hnerv", tiny_hnerv_cfg)
+        img = jax.random.uniform(jax.random.PRNGKey(1), (4, 80, 160, 3))
+        params = model.init(jax.random.PRNGKey(0), img[:1])
+        opt = optax.adam(1e-3, eps=1e-8)
+
+        def step(params, opt_state, img):
+            def L(p):
+                return loss_fn(model.apply(p, img), img, "l2")
+            l, g = jax.value_and_grad(L)(params)
+            u, opt_state = opt.update(g, opt_state, params)
+            return optax.apply_updates(params, u), opt_state, l
+
+        # single device
+        p1, _, l1 = jax.jit(step)(params, opt.init(params), img)
+
+        mesh = make_mesh(4)
+        repl = NamedSharding(mesh, P())
+        shard = NamedSharding(mesh, P("data"))
+        stepj = jax.jit(step, in_shardings=(repl, repl, shard),
+                        out_shardings=(repl, repl, repl))
+        p2, _, l2 = stepj(replicate(params, mesh), replicate(opt.init(params), mesh),
+                          shard_batch(img, mesh))
+        assert float(l1) == pytest.approx(float(l2), rel=1e-5)
+        d = max(float(jnp.abs(a - b).max())
+                for a, b in zip(jax.tree_util.tree_leaves(p1),
+                                jax.tree_util.tree_leaves(p2)))
+        assert d < 1e-5, d
