@@ -70,6 +70,12 @@ def parse_args(argv):
                         help="save model_latest.pth every N epochs (the "
                              "reference saves every epoch; raise on tunneled "
                              "TPU setups where device->host is slow)")
+    parser.add_argument("--matmul_precision", default="default", type=str,
+                        choices=["default", "tensorfloat32", "bfloat16",
+                                 "highest"],
+                        help="TPU matmul/conv precision for training "
+                             "(default = bf16 passes; tensorfloat32 = 3-pass; "
+                             "highest = 6-pass fp32-equivalent)")
     return parser.parse_args(argv)
 
 
@@ -258,6 +264,10 @@ def main(argv):
     args.outf = os.path.join("results", args.outf)
     args.exp_id = common.exp_id(args, cfg)
     args.outf = os.path.join(args.outf, args.exp_id)
+    prec = getattr(args, "matmul_precision", "default")
+    if prec != "default":
+        with jax.default_matmul_precision(prec):
+            return train(args, cfg)
     return train(args, cfg)
 
 

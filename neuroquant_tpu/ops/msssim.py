@@ -23,7 +23,13 @@ def _gauss_window(size: int = 11, sigma: float = 1.5) -> np.ndarray:
 
 
 def _gaussian_filter(x, win):
-    """Separable valid-padding Gaussian blur, per channel. x: NHWC."""
+    """Separable valid-padding Gaussian blur, per channel. x: NHWC.
+
+    Runs at HIGHEST precision: the SSIM variance terms are computed as
+    E[x^2] - E[x]^2, which catastrophically cancels under the TPU's default
+    bf16 matmul passes (observed as MS-SSIM ~0.75 instead of ~0.96 on
+    decodes whose fp32 value is fine).
+    """
     c = x.shape[-1]
     kh = win.reshape(-1, 1, 1, 1)          # (K,1,1,1) HWIO for depthwise
     kw = win.reshape(1, -1, 1, 1)
@@ -31,9 +37,11 @@ def _gaussian_filter(x, win):
     kh = jnp.tile(kh, (1, 1, 1, c))
     kw = jnp.tile(kw, (1, 1, 1, c))
     x = jax.lax.conv_general_dilated(
-        x, kh, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c)
+        x, kh, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST)
     x = jax.lax.conv_general_dilated(
-        x, kw, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c)
+        x, kw, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST)
     return x
 
 
