@@ -166,15 +166,16 @@ def main(argv):
         f["train_loss"] = surface
     logging.info("wrote %s", h5_path)
 
-    import matplotlib
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-    fig, ax = plt.subplots(figsize=(6, 5))
-    cs = ax.contour(xs, ys, surface.T, levels=15)
-    ax.clabel(cs, inline=True, fontsize=7)
-    ax.set_title(f"loss surface ({args.arch}, lid={args.lid}, b_w={args.b_w})")
-    fig.savefig(args.out + ".png", dpi=130)
-    logging.info("wrote %s.png", args.out)
+    if len(xs) >= 2 and len(ys) >= 2:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots(figsize=(6, 5))
+        cs = ax.contour(xs, ys, surface.T, levels=15)
+        ax.clabel(cs, inline=True, fontsize=7)
+        ax.set_title(f"loss surface ({args.arch}, lid={args.lid}, b_w={args.b_w})")
+        fig.savefig(args.out + ".png", dpi=130)
+        logging.info("wrote %s.png", args.out)
     return surface
 
 
