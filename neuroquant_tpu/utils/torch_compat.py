@@ -70,6 +70,43 @@ def _decoder_pairs(p: dict):
     return out
 
 
+def _pnerv_pairs(p: dict):
+    """PNeRV1/2 mapping using the names the reference model would produce
+    (models/PNeRV.py:20-61; the reference itself never saves one — its PNeRV
+    path is dead code)."""
+    out = []
+    enc = p["encoder"]
+    n_stages = sum(1 for k in enc if k.startswith("conv_"))
+    for k in range(n_stages):
+        out.append((f"enc_layers.{3 * k}", ("encoder", f"conv_{k}"), "conv"))
+        out.append((f"enc_layers.{3 * k + 1}", ("encoder", f"norm_{k}"), "norm"))
+        blk = f"block_{k}"
+        base = f"enc_layers.{3 * k + 2}"
+        out.append((f"{base}.dwconv", ("encoder", blk, "dwconv"), "conv"))
+        out.append((f"{base}.norm", ("encoder", blk, "norm"), "norm"))
+        out.append((f"{base}.pwconv1", ("encoder", blk, "pwconv1"), "linear"))
+        out.append((f"{base}.pwconv2", ("encoder", blk, "pwconv2"), "linear"))
+        out.append((f"{base}.gamma", ("encoder", blk), "gamma"))
+    out.append((f"enc_layers.{3 * n_stages}", ("encoder", "proj"), "conv"))
+
+    out.append(("dec_exc_layers.conv.0", ("dec_exc", "conv"), "conv"))
+    n_dec = sum(1 for k in p if k.startswith("dec_layers_"))
+    for i in range(n_dec):
+        out.append((f"dec_layers.{i}.conv.0", (f"dec_layers_{i}", "conv"),
+                    "conv"))
+    n_sc = sum(1 for k in p if k.startswith("shortcuts_"))
+    for i in range(n_sc):
+        out.append((f"dec_shortcuts.{3 * i}", (f"shortcuts_{i}",), "raw"))
+        out.append((f"dec_shortcuts.{3 * i + 1}", (f"shortcut_norms_{i}",),
+                    "norm"))
+    for kind in ("z", "r", "h"):
+        n = sum(1 for k in p if k.startswith(f"bsm_{kind}_"))
+        for i in range(n):
+            out.append((f"dec_bsm_{kind}.{i}", (f"bsm_{kind}_{i}",), "conv"))
+    out.append(("dec_head_layers", ("head_layer",), "conv"))
+    return out
+
+
 def _walk(tree, path):
     for k in path:
         tree = tree[k]
@@ -96,6 +133,9 @@ def params_to_state_dict(arch: str, params) -> "OrderedDict":
             sd[f"{torch_key}.bias"] = _to_np(node["bias"])
         elif kind == "gamma":
             sd[torch_key] = _to_np(node["gamma"])
+        elif kind == "raw":  # KFc etc.: copy leaves verbatim
+            for name, v in node.items():
+                sd[f"{torch_key}.{name}"] = _to_np(v)
         else:
             raise ValueError(kind)
 
@@ -105,12 +145,15 @@ def params_to_state_dict(arch: str, params) -> "OrderedDict":
         stage_blocks = sum(1 for k in enc if k.startswith("stage_0_block_"))
         for t, f, kind in _convnext_pairs(enc, n_stages, stage_blocks):
             put(t, ("encoder",) + f, kind)
+        pairs = _decoder_pairs(p)
     elif arch == "nerv":
-        pass  # PositionEncoding has no parameters
+        pairs = _decoder_pairs(p)  # PositionEncoding has no parameters
+    elif arch.startswith("pnerv"):
+        pairs = _pnerv_pairs(p)
     else:
         raise NotImplementedError(f"state-dict export for arch {arch!r}")
 
-    for t, f, kind in _decoder_pairs(p):
+    for t, f, kind in pairs:
         put(t, f, kind)
     return sd
 
@@ -154,6 +197,11 @@ def state_dict_to_params(arch: str, state_dict, params):
         elif kind == "gamma":
             if torch_key in sd:
                 node["gamma"] = sd[torch_key].astype(np.float32)
+        elif kind == "raw":
+            for name in list(node):
+                k = f"{torch_key}.{name}"
+                if k in sd:
+                    node[name] = sd[k].astype(np.float32)
 
     if arch == "hnerv":
         enc = p["encoder"]
@@ -161,7 +209,12 @@ def state_dict_to_params(arch: str, state_dict, params):
         stage_blocks = sum(1 for k in enc if k.startswith("stage_0_block_"))
         for t, f, kind in _convnext_pairs(enc, n_stages, stage_blocks):
             take(t, ("encoder",) + f, kind)
-    for t, f, kind in _decoder_pairs(p):
+        pairs = _decoder_pairs(p)
+    elif arch.startswith("pnerv"):
+        pairs = _pnerv_pairs(p)
+    else:
+        pairs = _decoder_pairs(p)
+    for t, f, kind in pairs:
         take(t, f, kind)
 
     import jax.numpy as jnp

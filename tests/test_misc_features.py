@@ -1,0 +1,113 @@
+"""Coverage for secondary features: QAT training, diff-mode dataset,
+dump_vis/eval_fps flags, config validation, lr schedules."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+
+class TestQAT:
+    def test_qat_training_runs(self, tmp_path, frame_dir, tiny_hnerv_cfg):
+        from neuroquant_tpu.methods import regress
+        cfg = dict(tiny_hnerv_cfg, epoch=2, eval_freq=2)
+        cfg_path = str(tmp_path / "cfg.yaml")
+        with open(cfg_path, "w") as f:
+            yaml.safe_dump(cfg, f)
+        cwd = os.getcwd()
+        os.chdir(tmp_path)
+        try:
+            for mode in ("ffnerv", "hinerv"):
+                regress.main(["--config", cfg_path, "--arch", "hnerv",
+                              "--data_path", frame_dir, "--vid", "q",
+                              "--outf", f"qat_{mode}", "--qat_mode", mode,
+                              "--qat_bits", "6"])
+                logs = glob.glob(str(tmp_path / f"results/qat_{mode}/**/*.log"),
+                                 recursive=True)
+                text = open(sorted(logs)[-1]).read()
+                assert f"QAT enabled: mode={mode}" in text
+        finally:
+            os.chdir(cwd)
+
+
+class TestDiffMode:
+    def test_diff_enc_samples(self, frame_dir, tiny_hnerv_cfg):
+        from neuroquant_tpu.data import VideoDataSet
+        cfg = dict(tiny_hnerv_cfg, diff_enc=True)
+        ds = VideoDataSet(cfg, frame_dir)
+        s = ds[0]
+        assert set(s) == {"img_id", "img_gt", "img_p", "img_f"}
+        # boundary clamping (videosets/datasets.py:35-36)
+        np.testing.assert_array_equal(np.asarray(s["img_p"]),
+                                      np.asarray(s["img_gt"]))
+        s_last = ds[len(ds) - 1]
+        np.testing.assert_array_equal(np.asarray(s_last["img_f"]),
+                                      np.asarray(s_last["img_gt"]))
+
+
+class TestEvalFlags:
+    def test_dump_vis_and_eval_fps(self, tmp_path, frame_dir, tiny_hnerv_cfg):
+        from neuroquant_tpu.methods import regress
+        cfg = dict(tiny_hnerv_cfg, epoch=1, eval_freq=1)
+        cfg_path = str(tmp_path / "cfg.yaml")
+        with open(cfg_path, "w") as f:
+            yaml.safe_dump(cfg, f)
+        cwd = os.getcwd()
+        os.chdir(tmp_path)
+        try:
+            regress.main(["--config", cfg_path, "--arch", "hnerv",
+                          "--data_path", frame_dir, "--vid", "v",
+                          "--outf", "vis"])
+            ckpt = glob.glob(str(tmp_path / "results/vis/**/epoch1.pth"),
+                             recursive=True)[0]
+            regress.main(["--config", cfg_path, "--arch", "hnerv",
+                          "--data_path", frame_dir, "--vid", "v",
+                          "--outf", "vis_eval", "--weight", ckpt,
+                          "--eval_only", "--dump_vis"])
+            pngs = glob.glob(str(tmp_path / "results/vis_eval/**/visualize_fp32/pred_*.png"),
+                             recursive=True)
+            assert len(pngs) == 8   # one per fixture frame
+        finally:
+            os.chdir(cwd)
+
+
+class TestConfigValidation:
+    def test_missing_key_raises(self):
+        from neuroquant_tpu.config import validate_config
+        with pytest.raises(KeyError, match="dec_in_channel"):
+            validate_config({"crop_h": 64}, "nerv")
+        with pytest.raises(ValueError, match="unknown arch"):
+            validate_config({}, "resnet")
+
+
+class TestSchedules:
+    def test_cosine_matches_reference_formula(self):
+        import math
+        from neuroquant_tpu.schedules import lr_multiplier
+        # reference formula (utils.py:86-92) evaluated directly
+        up_ratio, up_pow, min_lr, eta_min = 0.1, 1.0, 0.1, 0.05
+        for t in (0.0, 0.05, 0.1, 0.3, 0.7, 0.95, 0.999):
+            if t < up_ratio:
+                want = min_lr + (1 - min_lr) * (t / up_ratio) ** up_pow
+            else:
+                want = max(0.5 * (math.cos(math.pi * (t - up_ratio) / (1 - up_ratio)) + 1),
+                           eta_min)
+            got = float(lr_multiplier("cosine_0.1_1_0.1", t))
+            assert got == pytest.approx(want, rel=1e-6), t
+
+    def test_hybrid(self):
+        from neuroquant_tpu.schedules import lr_multiplier
+        got = float(lr_multiplier("hybrid_0.2_1_1_0.1_0.05", 0.1))
+        assert 0.1 < got < 1.0
+        got_end = float(lr_multiplier("hybrid_0.2_1_1_0.1_0.05", 0.99))
+        assert got_end < 0.1
+
+    def test_data_split(self):
+        from neuroquant_tpu.schedules import data_split
+        train, val = data_split(list(range(10)), [1, 1, 2], False)
+        assert train == [0, 2, 4, 6, 8]
+        assert val == [1, 3, 5, 7, 9]
+        train, val = data_split(list(range(6)), [1, 1, 1], False)
+        assert train == [0, 1, 2, 3, 4, 5] and val == []
