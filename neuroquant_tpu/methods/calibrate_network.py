@@ -76,6 +76,9 @@ def parse_args(argv):
                         choices=["float32", "bfloat16"],
                         help="decode precision during calibration (quant "
                              "math and loss stay fp32)")
+    parser.add_argument("--calib_ckpt_freq", default=25, type=int,
+                        help="phase-2 crash-recovery checkpoint every N "
+                             "epochs (0 disables; resumed automatically)")
     return parser.parse_args(argv)
 
 
@@ -148,7 +151,10 @@ def calibrate(args, cfg):
         weight=args.weight, opt_mode="mse", b_range=(args.b_start, args.b_end),
         warmup=args.warmup, p=args.norm_p, lr=args.lr, seed=args.seed,
         compute_dtype=(jnp.bfloat16 if args.compute_dtype == "bfloat16"
-                       else None))
+                       else None),
+        checkpoint_path=(os.path.join(args.outf, "calib_resume.pkl")
+                         if args.calib_ckpt_freq else None),
+        ckpt_every_epochs=max(args.calib_ckpt_freq, 1))
     logging.info(f"Training complete in: {str(datetime.now() - start)}")
 
     qparams = quantize_params(params, spec, state, mode=mode, soft=False)

@@ -86,6 +86,33 @@ def make_eval_fns(model, arch: str):
     return encode, decode, metrics
 
 
+def measure_decode_fps(model, params, embeds, batch_size: int = 1,
+                       n_iters: int = 100):
+    """Decode throughput: one jitted lax.scan over `n_iters` sequential
+    decodes of rotating frame embeddings — a single device program, so the
+    measurement excludes host dispatch overhead (the TPU analogue of the
+    reference's 100x decode loop around cuda.synchronize,
+    methods/regress.py:106-110)."""
+    n = embeds.shape[0]
+    idx = jnp.arange(n_iters * batch_size) % n
+
+    @jax.jit
+    def run(params, embeds):
+        def body(acc, i):
+            e = jax.lax.dynamic_index_in_dim(embeds, i, keepdims=True)
+            out = model.apply(params, e, method="decode")
+            return acc + out.mean(), None
+
+        acc, _ = jax.lax.scan(body, 0.0, idx)
+        return acc
+
+    float(run(params, embeds))          # compile + warm
+    t0 = time.time()
+    float(run(params, embeds))
+    dt = time.time() - t0
+    return n_iters * batch_size / dt
+
+
 def evaluate(model, params, dataset, args, cfg, dump_vis: bool = False,
              eval_fps: bool = False, visual_dir_name: str = "visualize_fp32"):
     """Full-clip eval in frame order. Returns (results_list, (h, w),
@@ -116,12 +143,6 @@ def evaluate(model, params, dataset, args, cfg, dump_vis: bool = False,
         out = jax.block_until_ready(decode(params, emb))
         dec_times.append(time.time() - t0)
         embeds.append(emb)
-        if eval_fps:  # reference --eval_fps: 100 timed decodes (regress.py:106-110)
-            dec_times.pop()
-            for _ in range(100):
-                t0 = time.time()
-                out = jax.block_until_ready(decode(params, emb))
-                dec_times.append(time.time() - t0)
 
         psnr, msssim = metrics(out, img)
         psnr, msssim = np.asarray(psnr), np.asarray(msssim)
@@ -149,8 +170,18 @@ def evaluate(model, params, dataset, args, cfg, dump_vis: bool = False,
 
     results = [np.mean(v) if len(v) else np.zeros(1) for v in metric_list]
     args.fps = fps
+    all_embeds = jnp.concatenate(embeds, axis=0)
+
+    if eval_fps:
+        # reference --eval_fps: 100 timed decodes (regress.py:106-110); here a
+        # single jitted scan so the tunnel round trip doesn't pollute the number
+        fps_dev = measure_decode_fps(model, params, all_embeds, bs)
+        args.fps = fps_dev
+        logging.info("[eval_fps] device decode throughput: {} FPS (batch {})".format(
+            round(fps_dev, 1), bs))
+
     h, w = cfg["crop_h"], cfg["crop_w"]
-    return results, (h, w), jnp.concatenate(embeds, axis=0)
+    return results, (h, w), all_embeds
 
 
 def split_dataset(args, dataset):

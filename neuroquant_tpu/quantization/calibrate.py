@@ -68,7 +68,8 @@ def _merge_state(train: Dict, frozen: Dict):
 def _run_phase(*, model, params, spec, state, cali_data, frames, train_ind,
                trainable_keys, mode, opt, epochs, steps_per_epoch, batch_size,
                p, rng, loss_extra=None, count_offset=0, log_every=500,
-               log_fn=logging.info, phase_name="", compute_dtype=None):
+               log_fn=logging.info, phase_name="", compute_dtype=None,
+               start_epoch=0, epoch_cb=None):
     """Jit one epoch (scan over shuffled batches) and loop it on the host."""
     if epochs <= 0:
         return state, count_offset
@@ -119,11 +120,15 @@ def _run_phase(*, model, params, spec, state, cali_data, frames, train_ind,
         return tstate, opt_state, count, logs
 
     count = jnp.asarray(count_offset, jnp.int32)
-    next_log = log_every
-    for e in range(epochs):
-        rng, erng = jax.random.split(rng)
+    next_log = count_offset - count_offset % log_every + log_every
+    for e in range(start_epoch, epochs):
+        # epoch rng derived from the absolute epoch index so a resumed run
+        # replays the same shuffles
+        erng = jax.random.fold_in(rng, e)
         tstate, opt_state, count, logs = run_epoch(
             tstate, frozen, opt_state, count, erng, params, frames, cali_data)
+        if epoch_cb is not None:
+            epoch_cb(e, _merge_state(tstate, frozen), int(count))
         # reproduce the reference's every-500-step loss lines (calib_model.py:86-88)
         c_end = int(count)
         c_start = c_end - steps_per_epoch
@@ -145,7 +150,9 @@ def model_reconstruction(model, params, spec: QuantSpec, state: Dict,
                          b_range: Tuple[int, int] = (20, 2),
                          warmup: float = 0.0, p: float = 2.0,
                          lr: float = 0.0015, seed: int = 903,
-                         log_fn=logging.info, compute_dtype=None):
+                         log_fn=logging.info, compute_dtype=None,
+                         checkpoint_path: str | None = None,
+                         ckpt_every_epochs: int = 25):
     """Returns (calibrated QuantState, mode='adaround'). After return, decode
     quantized with quantize_params(..., mode='adaround', soft=False).
 
@@ -158,23 +165,50 @@ def model_reconstruction(model, params, spec: QuantSpec, state: Dict,
     steps_per_epoch = len(train_ind) // batch_size
     assert steps_per_epoch > 0, "batch_size larger than the training split"
 
+    # crash recovery: the reference loses all calibration state on a crash
+    # (only the final pickle is written, calibrate_network.py:305-308); here
+    # phase-2 progress checkpoints periodically and resumes.
+    import os
+    import pickle
+
+    resume = None
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        with open(checkpoint_path, "rb") as f:
+            resume = pickle.load(f)
+        log_fn(f"[calib] resuming from {checkpoint_path}: "
+               f"phase2 epoch {resume['epoch'] + 1}, count {resume['count']}")
+
+    def save_ckpt(epoch, st, count):
+        if checkpoint_path is None:
+            return
+        with open(checkpoint_path + ".tmp", "wb") as f:
+            pickle.dump({"epoch": epoch, "count": count,
+                         "state": jax.tree_util.tree_map(np.asarray, st)}, f)
+        os.replace(checkpoint_path + ".tmp", checkpoint_path)
+
     # ---- Phase 1: scales (calib_model.py:120-167) ----
     epochs1 = int(0.05 * iters / steps_per_epoch)
     t0 = time.time()
-    rng, prng = jax.random.split(rng)
-    state, _ = _run_phase(
-        model=model, params=params, spec=spec, state=state,
-        cali_data=cali_data, frames=frames, train_ind=train_ind,
-        trainable_keys=("w_delta", "b_delta"), mode="uaq",
-        opt=optax.adam(0.001, eps=1e-8), epochs=epochs1,
-        steps_per_epoch=steps_per_epoch, batch_size=batch_size, p=p,
-        rng=prng, log_fn=log_fn, phase_name="phase1",
-        compute_dtype=compute_dtype)
-    log_fn(f"[calib] phase 1 (delta): {epochs1} epochs x {steps_per_epoch} steps "
-           f"in {time.time() - t0:.1f}s")
+    rng, prng1 = jax.random.split(rng)
+    if resume is None:
+        state, _ = _run_phase(
+            model=model, params=params, spec=spec, state=state,
+            cali_data=cali_data, frames=frames, train_ind=train_ind,
+            trainable_keys=("w_delta", "b_delta"), mode="uaq",
+            opt=optax.adam(0.001, eps=1e-8), epochs=epochs1,
+            steps_per_epoch=steps_per_epoch, batch_size=batch_size, p=p,
+            rng=prng1, log_fn=log_fn, phase_name="phase1",
+            compute_dtype=compute_dtype)
+        log_fn(f"[calib] phase 1 (delta): {epochs1} epochs x {steps_per_epoch} "
+               f"steps in {time.time() - t0:.1f}s")
 
     # ---- Phase 2: AdaRound alphas (calib_model.py:169-228) ----
-    state = adaround_upgrade(params, spec, state)
+    if resume is None:
+        state = adaround_upgrade(params, spec, state)
+        start_epoch, count0 = 0, 0
+    else:
+        state = jax.tree_util.tree_map(jnp.asarray, resume["state"])
+        start_epoch, count0 = resume["epoch"] + 1, resume["count"]
     temp = LinearTempDecay(iters, rel_start_decay=warmup,
                            start_b=b_range[0], end_b=b_range[1])
     loss_start = iters * warmup
@@ -186,17 +220,22 @@ def model_reconstruction(model, params, spec: QuantSpec, state: Dict,
         rnd = jnp.where(active, round_loss(st, spec, b, weight), 0.0)
         return rnd, b_eff
 
+    def epoch_cb(e, st, count):
+        if (e + 1) % ckpt_every_epochs == 0:
+            save_ckpt(e, st, count)
+
     epochs2 = int(iters / steps_per_epoch) - epochs1
     t0 = time.time()
-    rng, prng = jax.random.split(rng)
+    rng, prng2 = jax.random.split(rng)
     state, count = _run_phase(
         model=model, params=params, spec=spec, state=state,
         cali_data=cali_data, frames=frames, train_ind=train_ind,
         trainable_keys=("w_alpha", "b_alpha"), mode="adaround",
         opt=optax.adam(lr, eps=1e-8), epochs=epochs2,
         steps_per_epoch=steps_per_epoch, batch_size=batch_size, p=p,
-        rng=prng, loss_extra=loss_extra, log_fn=log_fn, phase_name="phase2",
-        compute_dtype=compute_dtype)
+        rng=prng2, loss_extra=loss_extra, log_fn=log_fn, phase_name="phase2",
+        compute_dtype=compute_dtype, start_epoch=start_epoch,
+        count_offset=count0, epoch_cb=epoch_cb)
     dt = time.time() - t0
     log_fn(f"[calib] phase 2 (alpha): {epochs2} epochs x {steps_per_epoch} steps "
            f"in {dt:.1f}s ({epochs2 * steps_per_epoch / max(dt, 1e-9):.1f} iters/s)")
