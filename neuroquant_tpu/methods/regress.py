@@ -76,6 +76,9 @@ def parse_args(argv):
                         help="TPU matmul/conv precision for training "
                              "(default = bf16 passes; tensorfloat32 = 3-pass; "
                              "highest = 6-pass fp32-equivalent)")
+    parser.add_argument("--profile", action="store_true", default=False,
+                        help="write a jax.profiler trace of epoch 2 to "
+                             "<outf>/profile and log the top op groups")
     return parser.parse_args(argv)
 
 
@@ -211,7 +214,16 @@ def train(args, cfg):
     for epoch in range(cfg["epoch"]):
         epoch_start = datetime.now()
         rng, erng = jax.random.split(rng)
-        params, opt_state, losses, psnrs = run_epoch(params, opt_state, erng)
+        if getattr(args, "profile", False) and epoch == 1:
+            from neuroquant_tpu.utils.profiling import profile_trace, summarize_trace
+            prof_dir = os.path.join(args.outf, "profile")
+            with profile_trace(prof_dir):
+                params, opt_state, losses, psnrs = run_epoch(params, opt_state, erng)
+                jax.block_until_ready(losses)
+            for ms, name in summarize_trace(prof_dir, top_k=10):
+                logging.info("[profile] %8.2f ms  %s", ms, name)
+        else:
+            params, opt_state, losses, psnrs = run_epoch(params, opt_state, erng)
         psnrs = np.asarray(psnrs)
 
         # reference logs running-mean PSNR every print_freq steps (regress.py:281-285)
