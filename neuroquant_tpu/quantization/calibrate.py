@@ -69,7 +69,7 @@ def _run_phase(*, model, params, spec, state, cali_data, frames, train_ind,
                trainable_keys, mode, opt, epochs, steps_per_epoch, batch_size,
                p, rng, loss_extra=None, count_offset=0, log_every=500,
                log_fn=logging.info, phase_name="", compute_dtype=None,
-               start_epoch=0, epoch_cb=None):
+               start_epoch=0, epoch_cb=None, mesh=None):
     """Jit one epoch (scan over shuffled batches) and loop it on the host."""
     if epochs <= 0:
         return state, count_offset
@@ -105,6 +105,12 @@ def _run_phase(*, model, params, spec, state, cali_data, frames, train_ind,
         perm = jax.random.permutation(erng, train_ind)
         n_use = steps_per_epoch * batch_size            # drop_last=True
         batches = perm[:n_use].reshape(steps_per_epoch, batch_size)
+        if mesh is not None:
+            # data parallel over the frame batch: each chip decodes
+            # batch_size / n_devices frames; XLA inserts the gradient psum
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            batches = jax.lax.with_sharding_constraint(
+                batches, NamedSharding(mesh, P(None, "data")))
 
         def step(carry, idx):
             tstate, opt_state, count = carry
@@ -152,7 +158,7 @@ def model_reconstruction(model, params, spec: QuantSpec, state: Dict,
                          lr: float = 0.0015, seed: int = 903,
                          log_fn=logging.info, compute_dtype=None,
                          checkpoint_path: str | None = None,
-                         ckpt_every_epochs: int = 25):
+                         ckpt_every_epochs: int = 25, mesh=None):
     """Returns (calibrated QuantState, mode='adaround'). After return, decode
     quantized with quantize_params(..., mode='adaround', soft=False).
 
@@ -198,7 +204,7 @@ def model_reconstruction(model, params, spec: QuantSpec, state: Dict,
             opt=optax.adam(0.001, eps=1e-8), epochs=epochs1,
             steps_per_epoch=steps_per_epoch, batch_size=batch_size, p=p,
             rng=prng1, log_fn=log_fn, phase_name="phase1",
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, mesh=mesh)
         log_fn(f"[calib] phase 1 (delta): {epochs1} epochs x {steps_per_epoch} "
                f"steps in {time.time() - t0:.1f}s")
 
@@ -235,7 +241,7 @@ def model_reconstruction(model, params, spec: QuantSpec, state: Dict,
         steps_per_epoch=steps_per_epoch, batch_size=batch_size, p=p,
         rng=prng2, loss_extra=loss_extra, log_fn=log_fn, phase_name="phase2",
         compute_dtype=compute_dtype, start_epoch=start_epoch,
-        count_offset=count0, epoch_cb=epoch_cb)
+        count_offset=count0, epoch_cb=epoch_cb, mesh=mesh)
     dt = time.time() - t0
     log_fn(f"[calib] phase 2 (alpha): {epochs2} epochs x {steps_per_epoch} steps "
            f"in {dt:.1f}s ({epochs2 * steps_per_epoch / max(dt, 1e-9):.1f} iters/s)")

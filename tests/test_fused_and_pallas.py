@@ -179,3 +179,38 @@ class TestDataParallel:
                 for a, b in zip(jax.tree_util.tree_leaves(p1),
                                 jax.tree_util.tree_leaves(p2)))
         assert d < 1e-5, d
+
+
+class TestDataParallelCalibration:
+    def test_dp_calibration_matches_single(self, tiny_hnerv_cfg, frame_dir):
+        """model_reconstruction with an 8-device mesh == single-device run."""
+        import jax
+        import jax.numpy as jnp
+        from neuroquant_tpu.data import VideoDataSet
+        from neuroquant_tpu.models import build_model
+        from neuroquant_tpu.parallel import make_mesh
+        from neuroquant_tpu.quantization import (
+            init_quant_state, make_spec, model_reconstruction, quantize_params,
+        )
+
+        ds = VideoDataSet(tiny_hnerv_cfg, frame_dir)
+        model = build_model("hnerv", tiny_hnerv_cfg)
+        params = model.init(jax.random.PRNGKey(0), ds.frames[:1])
+        emb = model.apply(params, ds.frames, method="encode")
+        spec = make_spec("hnerv", tiny_hnerv_cfg, channel_wise=True,
+                         scale_method="max").with_bits([4] * 5)
+        state0 = init_quant_state(params, spec)
+
+        kw = dict(arch="hnerv", batch_size=8, iters=16, warmup=0.2,
+                  lr=0.003, seed=903, log_fn=lambda m: None)
+        s1, _ = model_reconstruction(model, params, spec, state0, emb,
+                                     ds.frames, list(range(8)), **kw)
+        s2, _ = model_reconstruction(model, params, spec, state0, emb,
+                                     ds.frames, list(range(8)),
+                                     mesh=make_mesh(8), **kw)
+        import numpy as np
+        for ln in spec.layer_names:
+            for k in s1[ln]:
+                np.testing.assert_allclose(np.asarray(s1[ln][k]),
+                                           np.asarray(s2[ln][k]),
+                                           rtol=1e-4, atol=1e-5)
