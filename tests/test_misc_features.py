@@ -111,3 +111,18 @@ class TestSchedules:
         assert val == [1, 3, 5, 7, 9]
         train, val = data_split(list(range(6)), [1, 1, 1], False)
         assert train == [0, 1, 2, 3, 4, 5] and val == []
+
+
+class TestDecodeFPS:
+    def test_measure_decode_fps(self, tiny_hnerv_cfg, frame_dir):
+        import jax
+        from neuroquant_tpu.data import VideoDataSet
+        from neuroquant_tpu.methods.common import measure_decode_fps
+        from neuroquant_tpu.models import build_model
+
+        ds = VideoDataSet(tiny_hnerv_cfg, frame_dir)
+        model = build_model("hnerv", tiny_hnerv_cfg)
+        params = model.init(jax.random.PRNGKey(0), ds.frames[:1])
+        emb = model.apply(params, ds.frames, method="encode")
+        fps = measure_decode_fps(model, params, emb, batch_size=1, n_iters=8)
+        assert fps > 0
