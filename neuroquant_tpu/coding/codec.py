@@ -210,21 +210,63 @@ def decode_symbols(data: bytes, freqs: np.ndarray, n: int) -> np.ndarray:
     return out
 
 
+def encode_symbols_per_column(sym2d: np.ndarray, n_sym: int):
+    """Per-column coding of (N, C) symbols: one frequency table + payload per
+    column. In the Hadamard domain, columns (C_in positions) have wildly
+    different energies — the DC column carries most of the signal — so
+    per-column models beat one per-layer table by ~10-20%.
+
+    Returns (freqs (C, n_sym) uint32, payloads list[bytes]).
+    """
+    n, c = sym2d.shape
+    freqs = np.zeros((c, n_sym), np.uint32)
+    payloads = []
+    for j in range(c):
+        col = np.ascontiguousarray(sym2d[:, j])
+        f = build_freqs(col, n_sym)
+        freqs[j] = f
+        payloads.append(encode_symbols(col, f))
+    return freqs, payloads
+
+
+def decode_symbols_per_column(payloads, freqs: np.ndarray, n: int):
+    cols = [decode_symbols(p, freqs[j], n) for j, p in enumerate(payloads)]
+    return np.stack(cols, axis=1)
+
+
 # --------------------------------------------------------------------------
 # Artifact-level API: calibrated model -> bitstream -> reconstructed codes.
 # --------------------------------------------------------------------------
 def compress_artifact(int_codes: dict) -> bytes:
     """Serialize the per-layer integer codes (+ scales) from
-    collect_int_codes into one bitstream."""
-    blobs = [b"NQTB", struct.pack("<BB", 1, len(int_codes))]
+    collect_int_codes into one bitstream (format v2).
+
+    4-D weight codes are coded per C_in column when that is smaller than one
+    per-layer model (it usually is in the Hadamard domain); the smaller of
+    the two encodings is chosen per layer."""
+    blobs = [b"NQTB", struct.pack("<BB", 2, len(int_codes))]
     for name, c in int_codes.items():
         w = np.asarray(c["w"], np.int32)
         b = np.asarray(c["b"], np.int32)
         bits = int(c["bits"])
         n_sym = 1 << bits
+
+        # candidate 0: one per-layer model
         fw = build_freqs(w, n_sym)
-        fb = build_freqs(b, n_sym)
         pw = encode_symbols(w, fw)
+        size0 = len(pw) + 4 * n_sym
+        # candidate 1: per-C_in-column models (4-D weights only)
+        wmode, grouped = 0, None
+        if w.ndim == 4:
+            cdim = w.shape[2]
+            w2 = np.ascontiguousarray(
+                w.transpose(0, 1, 3, 2).reshape(-1, cdim))
+            gf, gp = encode_symbols_per_column(w2, n_sym)
+            size1 = sum(len(p) for p in gp) + 4 * n_sym * cdim + 4 * cdim
+            if size1 < size0:
+                wmode, grouped = 1, (gf, gp, w2.shape[0])
+
+        fb = build_freqs(b, n_sym)
         pb = encode_symbols(b, fb)
         scales = np.concatenate([
             np.asarray(c["w_delta"], np.float32).ravel(),
@@ -237,8 +279,16 @@ def compress_artifact(int_codes: dict) -> bytes:
         blobs.append(struct.pack("<BIIH", bits, w.size, b.size, n_sym))
         blobs.append(struct.pack("<B", len(w.shape)))
         blobs.append(np.asarray(w.shape, np.uint32).tobytes())
-        blobs.append(fw.tobytes())
-        blobs.append(struct.pack("<I", len(pw)) + pw)
+        blobs.append(struct.pack("<B", wmode))
+        if wmode == 0:
+            blobs.append(fw.tobytes())
+            blobs.append(struct.pack("<I", len(pw)) + pw)
+        else:
+            gf, gp, _ = grouped
+            blobs.append(struct.pack("<H", gf.shape[0]))
+            blobs.append(gf.tobytes())
+            for p in gp:
+                blobs.append(struct.pack("<I", len(p)) + p)
         blobs.append(fb.tobytes())
         blobs.append(struct.pack("<I", len(pb)) + pb)
         blobs.append(struct.pack("<I", scales.size) + scales.tobytes())
@@ -246,10 +296,11 @@ def compress_artifact(int_codes: dict) -> bytes:
 
 
 def decompress_artifact(stream: bytes) -> dict:
-    """Inverse of compress_artifact: bitstream -> {name: {w, b, bits, scales}}."""
+    """Inverse of compress_artifact: bitstream -> {name: {w, b, bits, scales}}.
+    Reads format v1 (per-layer models) and v2 (optional per-column models)."""
     assert stream[:4] == b"NQTB"
     version, n_layers = struct.unpack_from("<BB", stream, 4)
-    assert version == 1
+    assert version in (1, 2), version
     off = 6
     out = {}
     for _ in range(n_layers):
@@ -259,9 +310,26 @@ def decompress_artifact(stream: bytes) -> dict:
         (ndim,) = struct.unpack_from("<B", stream, off); off += 1
         shape = tuple(np.frombuffer(stream, np.uint32, ndim, off).tolist())
         off += 4 * ndim
-        fw = np.frombuffer(stream, np.uint32, n_sym, off).copy(); off += 4 * n_sym
-        (lw,) = struct.unpack_from("<I", stream, off); off += 4
-        pw = stream[off:off + lw]; off += lw
+        wmode = 0
+        if version >= 2:
+            (wmode,) = struct.unpack_from("<B", stream, off); off += 1
+        if wmode == 0:
+            fw = np.frombuffer(stream, np.uint32, n_sym, off).copy(); off += 4 * n_sym
+            (lw,) = struct.unpack_from("<I", stream, off); off += 4
+            pw = stream[off:off + lw]; off += lw
+            w = decode_symbols(pw, fw, n_w).reshape(shape)
+        else:
+            (cdim,) = struct.unpack_from("<H", stream, off); off += 2
+            gf = np.frombuffer(stream, np.uint32, n_sym * cdim, off).reshape(
+                cdim, n_sym).copy(); off += 4 * n_sym * cdim
+            payloads = []
+            for _j in range(cdim):
+                (lw,) = struct.unpack_from("<I", stream, off); off += 4
+                payloads.append(stream[off:off + lw]); off += lw
+            n_rows = n_w // cdim
+            w2 = decode_symbols_per_column(payloads, gf, n_rows)
+            kh, kw, c, cout = shape
+            w = w2.reshape(kh, kw, cout, c).transpose(0, 1, 3, 2)
         fb = np.frombuffer(stream, np.uint32, n_sym, off).copy(); off += 4 * n_sym
         (lb,) = struct.unpack_from("<I", stream, off); off += 4
         pb = stream[off:off + lb]; off += lb
@@ -269,7 +337,7 @@ def decompress_artifact(stream: bytes) -> dict:
         scales = np.frombuffer(stream, np.float16, ns, off).copy(); off += 2 * ns
         out[name] = {
             "bits": bits,
-            "w": decode_symbols(pw, fw, n_w).reshape(shape),
+            "w": w,
             "b": decode_symbols(pb, fb, n_b),
             "scales": scales.astype(np.float32),
         }
