@@ -56,6 +56,10 @@ def model_input(arch: str, frames, norm_idx, idx):
 def setup_run(args, cfg, rng):
     """Build model + params, count parameters, fix the hyperparameter-encoded
     output directory (reference naming, regress.py:205-208)."""
+    if args.arch.lower() == "nerv":
+        # exact positional-encoding argument reduction over the frame grid;
+        # mutate in place so the caller's cfg (and pickled artifacts) carry it
+        cfg["n_frames"] = args.full_data_length
     model = build_model(args.arch, cfg)
     params = model.init(rng, example_input(args.arch, cfg, cfg["batch_size"]))
     final_size = cfg["crop_h"] * cfg["crop_w"]

@@ -275,15 +275,34 @@ class NeRVBlock(nn.Module):
 # --------------------------------------------------------------------------
 class PositionEncoding(nn.Module):
     """[sin, cos](pos * base**arange(level) * pi) -> (B, 1, 1, 2*level)
-    (_layers.py:77-85, NHWC)."""
+    (_layers.py:77-85, NHWC).
+
+    With n_frames > 0 (pos known to lie on the grid idx/n_frames, the only
+    case the pipeline ever evaluates), arguments are reduced mod 2*pi in
+    float64 at trace time: theta = idx * ((base**k * pi / N) mod 2pi), so the
+    arguments stay < N * 2pi where the TPU's polynomial sin is accurate.
+    Without reduction, base**79 * pi ~ 1.4e8 exceeds fp32 argument-reduction
+    range and the high-frequency features degrade into hardware-dependent
+    noise (the torch reference has the same fp32 rounding but an accurate
+    libm sin of the rounded argument).
+    """
 
     base: float
     level: int
+    n_frames: int = 0
 
     def __call__(self, pos):
         pos = jnp.asarray(pos, jnp.float32).reshape(-1, 1)      # (B, 1)
-        bases = self.base ** jnp.arange(self.level, dtype=jnp.float32) * jnp.pi
-        v = pos * bases                                         # (B, level)
+        if self.n_frames > 0:
+            import numpy as np
+            c = np.float64(self.base) ** np.arange(self.level, dtype=np.float64)
+            c = (c * np.pi / self.n_frames) % (2 * np.pi)
+            idx = jnp.round(pos * self.n_frames)
+            v = idx * jnp.asarray(c, jnp.float32)
+        else:
+            bases = (self.base ** jnp.arange(self.level, dtype=jnp.float32)
+                     * jnp.pi)
+            v = pos * bases                                     # (B, level)
         pe = jnp.concatenate([jnp.sin(v), jnp.cos(v)], axis=-1)
         return pe.reshape(pos.shape[0], 1, 1, -1)
 

@@ -32,6 +32,7 @@ class NeRVConfig:
     dec_norm: str
     dec_acts: str
     out_bias: str
+    n_frames: int = 0   # >0 enables exact PE argument reduction (layers.py)
 
     @classmethod
     def from_cfg(cls, cfg: dict) -> "NeRVConfig":
@@ -45,6 +46,7 @@ class NeRVConfig:
             channel_lbound=int(cfg["channel_lbound"]),
             dec_norm=cfg["dec_norm"], dec_acts=cfg["dec_acts"],
             out_bias=str(cfg["out_bias"]),
+            n_frames=int(cfg.get("n_frames", 0)),
         )
 
     @property
@@ -70,7 +72,8 @@ class NeRV(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.encoder = PositionEncoding(base=c.base, level=c.level)
+        self.encoder = PositionEncoding(base=c.base, level=c.level,
+                                        n_frames=c.n_frames)
         # decoder[0]: 1x1 conv expanding PE -> dec_in_channel * fc_h * fc_w,
         # fused with the layer-0 block-to-space shuffle (models/NeRV.py:50-51)
         self.decoder0 = UpsampleConv(
