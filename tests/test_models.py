@@ -167,3 +167,32 @@ class TestTorchCompat:
         params2 = load_pth(path, "hnerv", params2)
         np.testing.assert_allclose(np.asarray(m.apply(params, x)),
                                    np.asarray(m.apply(params2, x)), atol=1e-6)
+
+
+class TestPositionEncoding:
+    """Exact argument reduction for the NeRV index embedding (layers.py
+    PositionEncoding; reference _layers.py:77-85). base**79 * pi ~ 1.4e8 is
+    beyond fp32 sin argument-reduction range, so the grid path (n_frames>0)
+    reduces (base**k * pi / N) mod 2pi in float64 at trace time."""
+
+    def test_reduced_matches_float64_truth(self):
+        from neuroquant_tpu.models.layers import PositionEncoding
+        base, level, n = 1.25, 80, 132
+        pe = PositionEncoding(base=base, level=level, n_frames=n)
+        idx = np.arange(n)
+        pos = jnp.asarray(idx / n, jnp.float32)
+        got = np.asarray(pe.apply({}, pos)).reshape(n, 2 * level)
+
+        k = np.arange(level, dtype=np.float64)
+        theta = (idx[:, None] / n) * (base ** k)[None, :] * np.pi
+        want = np.concatenate([np.sin(theta), np.cos(theta)], axis=1)
+        assert np.abs(got - want).max() < 1e-3
+
+    def test_grid_and_plain_paths_agree_at_low_levels(self):
+        # where fp32 sin is accurate the two paths must be the same encoding
+        from neuroquant_tpu.models.layers import PositionEncoding
+        base, level, n = 1.25, 10, 132
+        pos = jnp.asarray(np.arange(n) / n, jnp.float32)
+        a = PositionEncoding(base=base, level=level, n_frames=n).apply({}, pos)
+        b = PositionEncoding(base=base, level=level).apply({}, pos)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
