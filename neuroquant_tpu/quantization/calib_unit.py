@@ -14,6 +14,12 @@ tensors, which stay resident in HBM.
 
 A "unit" is one quantizable conv layer; `include_act=True` reconstructs the
 block output (conv -> pixel-shuffle -> act), `False` the raw conv output.
+
+Supports the reference LossFunction's full objective zoo (calib_block.py:
+63-72): `opt_mode` mse / fisher_diag / fisher_full (the fisher modes cache
+|dMSE(fp, quant)/d(unit output)|+1 per sample via harvest_unit_grads —
+save_grad_data, data_utils.py:91-119) and QDrop `input_prob` mixing of FP and
+quantized-prefix inputs (calib_block.py:163-165).
 """
 
 from __future__ import annotations
@@ -71,8 +77,16 @@ def harvest_unit_io(model, params, arch: str, spec: QuantSpec, cali_data,
         img, embeds = model.apply(params, x, method="decode",
                                   return_embeds=True)
         taps = {}
-        taps[0] = (embeds[0], embeds[1])                    # decoder0
-        blk_in = pixel_shuffle(embeds[1], fc)
+        # decoder0's module output is the raw conv result (the reference
+        # wraps the Conv2d alone, quant_model.py:19-41). NeRV fuses the
+        # fc-grid shuffle into decoder0 (embeds[1] is post-shuffle there), so
+        # recompute the pre-shuffle output from the stored HWIO kernel —
+        # cheap, the spatial extent is fc_h x fc_w.
+        dec0 = _get(params, spec.layer_paths[0])
+        y0 = _apply_unit(embeds[0], dec0["kernel"], dec0["bias"], 1,
+                         dec0["kernel"].shape[0], None)
+        taps[0] = (embeds[0], y0)
+        blk_in = pixel_shuffle(y0, fc)
         for k in range(n_blocks):
             taps[k + 1] = (blk_in, embeds[2 + k])
             blk_in = embeds[2 + k]
@@ -118,12 +132,97 @@ def _apply_unit(x, kernel, bias, stride: int, kernel_size: int, act):
     return y
 
 
+def _decode_from(model, params, spec: QuantSpec, y, unit_idx: int,
+                 from_conv_out: bool = False):
+    """Continue the FP decode from unit `unit_idx`'s output to the final
+    image (post-OutImg). `from_conv_out=True` means y is the raw conv output
+    of a NeRVBlock unit (layer-recon tap), so its shuffle+act run first."""
+    from neuroquant_tpu.models.layers import out_img
+
+    cfg = model.cfg
+    n_blocks = len(cfg.dec_strides)
+    x = y
+    if from_conv_out and 1 <= unit_idx <= n_blocks:
+        stride, act, _ = _unit_meta(model, "", unit_idx)
+        if stride != 1:
+            x = pixel_shuffle(x, stride)
+        if act is not None:
+            x = act(x)
+    if unit_idx == 0:
+        x = pixel_shuffle(x, (cfg.fc_h, cfg.fc_w))
+    for k in range(max(unit_idx + 1, 1), n_blocks + 1):
+        layer = _get(params, spec.layer_paths[k])
+        stride, act, _ = _unit_meta(model, "", k)
+        x = _apply_unit(x, layer["kernel"], layer["bias"], stride,
+                        layer["kernel"].shape[0], act)
+    if unit_idx <= n_blocks:
+        x = _head_conv(x, _get(params, spec.layer_paths[-1]))
+    return out_img(x, cfg.out_bias)
+
+
+def harvest_unit_grads(model, params, spec: QuantSpec, state: Dict,
+                       unit_idx: int, cali_data, include_act: bool = True,
+                       batch_size: int = 1):
+    """|d MSE(fp_pred, quant_pred) / d(unit output)| + 1 per cali sample, the
+    fisher gradient cache (save_grad_data/GetLayerGrad, data_utils.py:91-272).
+    The prefix through `unit_idx` runs quantized (quantize_model_till
+    semantics), the suffix FP; the per-sample loss is the sample-mean MSE
+    (reference batches size 1, data_utils.py:157 call site)."""
+    qparams = quantize_params(params, spec, state, mode="uaq",
+                              upto=unit_idx)
+    ks = _get(params, spec.layer_paths[unit_idx])["kernel"].shape[0]
+
+    def one(x):
+        x = x[None]
+        fp = model.apply(params, x, method="decode")
+        # unit output under the quantized prefix (incl. this unit)
+        _, embeds = model.apply(qparams, x, method="decode",
+                                return_embeds=True)
+        cfg = model.cfg
+        n_blocks = len(cfg.dec_strides)
+        if unit_idx == 0 or not include_act:
+            # raw conv output of the (quantized) unit
+            if unit_idx == 0:
+                xin = embeds[0]
+            elif unit_idx == 1:
+                dec0 = _get(qparams, spec.layer_paths[0])
+                y0 = _apply_unit(embeds[0], dec0["kernel"], dec0["bias"], 1,
+                                 dec0["kernel"].shape[0], None)
+                xin = pixel_shuffle(y0, (cfg.fc_h, cfg.fc_w))
+            else:
+                xin = embeds[unit_idx]      # previous block output
+            layer = _get(qparams, spec.layer_paths[unit_idx])
+            y_q = _apply_unit(xin, layer["kernel"], layer["bias"], 1,
+                              layer["kernel"].shape[0], None)
+            from_conv = unit_idx != 0 and unit_idx <= n_blocks
+        else:
+            y_q = (embeds[1 + unit_idx] if unit_idx <= n_blocks
+                   else _head_conv(embeds[1 + n_blocks],
+                                   _get(qparams, spec.layer_paths[-1])))
+            from_conv = False
+
+        def loss(yy):
+            pred = _decode_from(model, params, spec, yy, unit_idx,
+                                from_conv_out=from_conv)
+            return jnp.mean((fp - pred) ** 2)
+
+        return jax.grad(loss)(y_q)[0]
+
+    grads = []
+    run = jax.jit(jax.vmap(one))
+    n = cali_data.shape[0]
+    for s in range(0, n, batch_size):
+        grads.append(run(cali_data[s:s + batch_size]))
+    return jnp.abs(jnp.concatenate(grads)) + 1.0
+
+
 def unit_reconstruction(model, params, spec: QuantSpec, state: Dict,
                         unit_idx: int, cali_data, include_act: bool = True,
                         batch_size: int = 8, iters: int = 20000,
                         weight: float = 0.01, b_range=(20, 2),
                         warmup: float = 0.0, p: float = 2.0,
                         lr: float = 0.0015, seed: int = 903,
+                        opt_mode: str = "mse", input_prob: float = 1.0,
                         log_fn=logging.info):
     """AdaRound one unit against its cached FP output. Returns updated state
     for that unit (others untouched). include_act=True == block
@@ -145,6 +244,22 @@ def unit_reconstruction(model, params, spec: QuantSpec, state: Dict,
     if not include_act:
         # layer mode reconstructs the raw conv output: recompute cheaply
         y_fp = _apply_unit(x_fp, w, b, 1, kernel_size, None)
+
+    # fisher rec losses need the cached output gradients; QDrop input mixing
+    # needs the unit input under a quantized prefix ("sym" input,
+    # data_utils.py:45-88). Both use quantize_model_till semantics.
+    grads = None
+    if opt_mode != "mse":
+        t0 = time.time()
+        grads = harvest_unit_grads(model, params, spec, state, unit_idx,
+                                   cali_data, include_act=include_act)
+        log_fn("Cached grad time: {}".format(time.time() - t0))
+    x_sym = None
+    if input_prob < 1.0:
+        qparams_till = quantize_params(params, spec, state, mode="uaq",
+                                       upto=unit_idx)
+        x_sym = harvest_unit_io(model, qparams_till, "", spec,
+                                cali_data)[unit_idx][0]
 
     # AdaRound state for this unit (reference block recon inits from the raw
     # weight, calib_block.py:124-125; network-wise uses hadamard domain)
@@ -171,27 +286,50 @@ def unit_reconstruction(model, params, spec: QuantSpec, state: Dict,
                                    st["b_alpha"], bits, soft=True)
         return wq, bq
 
+    rng = jax.random.PRNGKey(seed)
+    rng, drop_rng = jax.random.split(rng)
+
     # cached activations flow through as jit args (closure capture would
-    # embed them as HLO constants)
-    def loss_at(tr, x_fp, y_fp, idx, count):
+    # embed them as HLO constants); x_sym/grads arrive as (1,) dummies when
+    # their (static) modes are off
+    def loss_at(tr, x_fp, y_fp, x_sym, grads, idx, count):
         wq, bq = fq_unit(tr, count)
-        pred = _apply_unit(x_fp[idx], wq, bq, stride, kernel_size, act)
-        rec = lp_loss(pred, y_fp[idx], p=p)
+        inp = x_fp[idx]
+        if input_prob < 1.0:
+            # QDrop: per-element mix of FP and quantized-prefix inputs
+            # (calib_block.py:163-165)
+            r = jax.random.uniform(jax.random.fold_in(drop_rng, count),
+                                   inp.shape)
+            inp = jnp.where(r < input_prob, inp, x_sym[idx])
+        pred = _apply_unit(inp, wq, bq, stride, kernel_size, act)
+        tgt = y_fp[idx]
+        if opt_mode == "mse":
+            rec = lp_loss(pred, tgt, p=p)
+        elif opt_mode == "fisher_diag":
+            # ((pred-tgt)^2 * grad^2).sum(channel).mean (calib_block.py:66)
+            g = grads[idx]
+            rec = (((pred - tgt) ** 2) * g ** 2).sum(-1).mean()
+        elif opt_mode == "fisher_full":
+            a = jnp.abs(pred - tgt)
+            g = jnp.abs(grads[idx])
+            dot = jnp.sum(a * g, axis=(1, 2, 3)).reshape(-1, 1, 1, 1)
+            rec = jnp.mean(dot * a * g) / 100
+        else:
+            raise ValueError(f"Unsupported reconstruction loss: {opt_mode}")
         btemp = temp(count)
         reg = jnp.where(count >= loss_start,
                         weight * Q.adaround_reg(tr["w_alpha"], btemp), 0.0)
         return rec + reg, (rec, reg)
 
     n_cached = x_fp.shape[0]
-    rng = jax.random.PRNGKey(seed)
 
     @jax.jit
-    def run_chunk(tr, opt_state, count0, idxs, x_fp, y_fp):
+    def run_chunk(tr, opt_state, count0, idxs, x_fp, y_fp, x_sym, grads):
         def step(carry, idx):
             tr, opt_state, count = carry
             count = count + 1
             (l, aux), g = jax.value_and_grad(loss_at, has_aux=True)(
-                tr, x_fp, y_fp, idx, count)
+                tr, x_fp, y_fp, x_sym, grads, idx, count)
             updates, opt_state = opt.update(g, opt_state, tr)
             tr = optax.apply_updates(tr, updates)
             return (tr, opt_state, count), l
@@ -199,6 +337,8 @@ def unit_reconstruction(model, params, spec: QuantSpec, state: Dict,
             step, (tr, opt_state, count0), idxs)
         return tr, opt_state, count, losses
 
+    x_sym_arg = x_sym if x_sym is not None else jnp.zeros((1,))
+    grads_arg = grads if grads is not None else jnp.zeros((1,))
     chunk = 500
     count = jnp.asarray(0, jnp.int32)
     done = 0
@@ -207,7 +347,8 @@ def unit_reconstruction(model, params, spec: QuantSpec, state: Dict,
         rng, r = jax.random.split(rng)
         idxs = jax.random.randint(r, (todo, batch_size), 0, n_cached)
         tr, opt_state, count, losses = run_chunk(tr, opt_state, count, idxs,
-                                                 x_fp, y_fp)
+                                                 x_fp, y_fp, x_sym_arg,
+                                                 grads_arg)
         done += todo
         log_fn(f"[unit {unit_idx} {name}] iter {done}/{iters} "
                f"loss {float(losses[-1]):.5f}")

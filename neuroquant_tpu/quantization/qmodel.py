@@ -122,12 +122,17 @@ def _fq_bias(b, s, bits: int, mode: str, soft: bool):
 
 
 def quantize_params(params, spec: QuantSpec, state: Dict, mode: str = "uaq",
-                    soft: bool = True):
+                    soft: bool = True, upto: int | None = None):
     """Return a params pytree with fake-quantized kernels/biases for every
     spec layer (the functional equivalent of set_quant_state(True) forward,
-    quant_layer.py:67-81)."""
+    quant_layer.py:67-81). `upto` quantizes only units 0..upto inclusive —
+    the reference's quantize_model_till (data_utils.py:262-272), used when
+    harvesting fisher gradients and QDrop "sym" inputs."""
     out = params
-    for name, path, bits in zip(spec.layer_names, spec.layer_paths, spec.n_bits):
+    for i, (name, path, bits) in enumerate(
+            zip(spec.layer_names, spec.layer_paths, spec.n_bits)):
+        if upto is not None and i > upto:
+            break
         layer = _get(params, path)
         s = state[name]
         new_layer = dict(layer)

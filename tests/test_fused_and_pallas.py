@@ -138,6 +138,62 @@ class TestUnitReconstruction:
                                       log_fn=lambda m: None)
         assert "w_alpha" in state2[spec.layer_names[0]]
 
+    def test_nerv_block_recon_runs(self, tiny_nerv_cfg):
+        # NeRV fuses the fc-grid shuffle into decoder0; the tap harvest must
+        # still produce consistent unit inputs/outputs
+        from neuroquant_tpu.models import build_model, example_input
+        from neuroquant_tpu.quantization import init_quant_state, make_spec
+        from neuroquant_tpu.quantization.calib_unit import (
+            block_reconstruction, harvest_unit_io,
+        )
+
+        model = build_model("nerv", tiny_nerv_cfg)
+        x = example_input("nerv", tiny_nerv_cfg, 4)
+        params = model.init(jax.random.PRNGKey(0), x)
+        emb = model.apply(params, x, method="encode")
+        spec = make_spec("nerv", tiny_nerv_cfg, channel_wise=True,
+                         scale_method="max").with_bits([4] * 5)
+        io = harvest_unit_io(model, params, "", spec, emb)
+        # every tap's input feeds the next unit: shapes must chain
+        for u in range(len(spec.layer_names)):
+            assert io[u][0].shape[0] == emb.shape[0]
+        state = init_quant_state(params, spec)
+        state2 = block_reconstruction(model, params, spec, state, 1, emb,
+                                      iters=40, batch_size=2,
+                                      log_fn=lambda m: None)
+        assert "w_alpha" in state2[spec.layer_names[1]]
+
+    def test_fisher_and_qdrop_modes(self, tiny_hnerv_cfg):
+        from neuroquant_tpu.models import build_model, example_input
+        from neuroquant_tpu.quantization import init_quant_state, make_spec
+        from neuroquant_tpu.quantization.calib_unit import (
+            block_reconstruction, harvest_unit_grads,
+        )
+
+        model = build_model("hnerv", tiny_hnerv_cfg)
+        x = example_input("hnerv", tiny_hnerv_cfg, 4)
+        params = model.init(jax.random.PRNGKey(0), x)
+        emb = model.apply(params, x, method="encode")
+        spec = make_spec("hnerv", tiny_hnerv_cfg, channel_wise=True,
+                         scale_method="max").with_bits([3] * 5)
+        state = init_quant_state(params, spec)
+
+        g = harvest_unit_grads(model, params, spec, state, 1, emb)
+        assert g.shape[0] == emb.shape[0]
+        assert float(g.min()) >= 1.0          # |grad| + 1 (data_utils.py:231)
+        assert np.isfinite(np.asarray(g)).all()
+
+        for mode in ("fisher_diag", "fisher_full"):
+            st = block_reconstruction(model, params, spec, state, 1, emb,
+                                      iters=40, batch_size=2, opt_mode=mode,
+                                      log_fn=lambda m: None)
+            assert "w_alpha" in st[spec.layer_names[1]]
+
+        st = block_reconstruction(model, params, spec, state, 1, emb,
+                                  iters=40, batch_size=2, input_prob=0.5,
+                                  log_fn=lambda m: None)
+        assert "w_alpha" in st[spec.layer_names[1]]
+
 
 class TestDataParallel:
     def test_dryrun_multichip_8(self):
