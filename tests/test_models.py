@@ -196,3 +196,34 @@ class TestPositionEncoding:
         a = PositionEncoding(base=base, level=level, n_frames=n).apply({}, pos)
         b = PositionEncoding(base=base, level=level).apply({}, pos)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestNormLayers:
+    """BatchNorm2d(track_running_stats=False) / InstanceNorm2d parity vs
+    torch (_layers.py:120-130). Configs ship dec_norm: none, but the layer
+    zoo is part of the model surface."""
+
+    def test_batchnorm_matches_torch(self):
+        import torch
+        from neuroquant_tpu.models.layers import BatchNorm2d
+        rng = np.random.RandomState(3)
+        x = rng.randn(4, 5, 6, 7).astype(np.float32)
+        m = BatchNorm2d(features=7)
+        params = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        got = np.asarray(m.apply(params, jnp.asarray(x)))
+
+        tm = torch.nn.BatchNorm2d(7, track_running_stats=False)
+        tm.train()                       # batch stats, as the reference uses it
+        want = tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+        want = want.permute(0, 2, 3, 1).detach().numpy()
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_instancenorm_matches_torch(self):
+        import torch
+        from neuroquant_tpu.models.layers import InstanceNorm2d
+        rng = np.random.RandomState(4)
+        x = rng.randn(3, 5, 6, 4).astype(np.float32)
+        got = np.asarray(InstanceNorm2d().apply({}, jnp.asarray(x)))
+        want = torch.nn.InstanceNorm2d(4)(torch.from_numpy(x).permute(0, 3, 1, 2))
+        want = want.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, want, atol=2e-5)
