@@ -42,6 +42,9 @@ def parse_args(argv):
                         "of the saved QuantState")
     p.add_argument("--data_split", type=str, default="1_1_1")
     p.add_argument("-p", "--print-freq", default=50, type=int)
+    p.add_argument("--eval_fps", action="store_true", default=False,
+                   help="also report device-side decode FPS (jitted scan, "
+                        "the quantized counterpart of regress --eval_fps)")
     return p.parse_args(argv)
 
 
@@ -113,7 +116,8 @@ def main(argv):
         mode = "adaround" if "w_alpha" in next(iter(state.values())) else "uaq"
         qparams = quantize_params(params, spec, state, mode=mode, soft=False)
 
-    results, _, _ = common.evaluate(model, qparams, dataset, args, cfg)
+    results, _, _ = common.evaluate(model, qparams, dataset, args, cfg,
+                                    eval_fps=args.eval_fps)
     s, _ = common.best_metrics_str(results)
     logging.info("Quantized eval: %s", s)
     return results
