@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import logging
 import time
+from functools import partial
 from typing import Dict, Tuple
 
 import jax
@@ -99,7 +100,9 @@ def _run_phase(*, model, params, spec, state, cali_data, frames, train_ind,
             rnd, b = 0.0, 0.0
         return rec + rnd, (rec, rnd, b)
 
-    @jax.jit
+    # donate the carried optimization state: alphas/deltas + Adam moments are
+    # rewritten every epoch, so XLA can update them in place
+    @partial(jax.jit, donate_argnums=(0, 2))
     def run_epoch(tstate, frozen, opt_state, count, erng, params, frames,
                   cali_data):
         perm = jax.random.permutation(erng, train_ind)
