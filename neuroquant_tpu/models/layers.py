@@ -278,13 +278,17 @@ class PositionEncoding(nn.Module):
     (_layers.py:77-85, NHWC).
 
     With n_frames > 0 (pos known to lie on the grid idx/n_frames, the only
-    case the pipeline ever evaluates), arguments are reduced mod 2*pi in
-    float64 at trace time: theta = idx * ((base**k * pi / N) mod 2pi), so the
-    arguments stay < N * 2pi where the TPU's polynomial sin is accurate.
-    Without reduction, base**79 * pi ~ 1.4e8 exceeds fp32 argument-reduction
-    range and the high-frequency features degrade into hardware-dependent
-    noise (the torch reference has the same fp32 rounding but an accurate
-    libm sin of the rounded argument).
+    case the pipeline ever evaluates), the encoding is a (n_frames, 2*level)
+    table precomputed at trace time with EXACT reference semantics: bases
+    float32 (`base ** torch.arange(level) * pi`, _layers.py:80), positions
+    float64 (python-float norm_idx collates to float64), product and sin in
+    float64, cast to float32 (the `.float()` at models/NeRV.py:42). This
+    matches torch bit-for-bit — required for cross-loading reference-trained
+    NeRV checkpoints — and sidesteps the TPU's fp32 sin, whose argument
+    reduction breaks down at base**79 * pi ~ 1.4e8 (hardware-dependent noise
+    features). The table is 2*level*n_frames floats (~84 KB for Bunny).
+
+    Without n_frames the plain fp32 path runs on device (arbitrary pos).
     """
 
     base: float
@@ -294,17 +298,28 @@ class PositionEncoding(nn.Module):
     def __call__(self, pos):
         pos = jnp.asarray(pos, jnp.float32).reshape(-1, 1)      # (B, 1)
         if self.n_frames > 0:
-            import numpy as np
-            c = np.float64(self.base) ** np.arange(self.level, dtype=np.float64)
-            c = (c * np.pi / self.n_frames) % (2 * np.pi)
-            idx = jnp.round(pos * self.n_frames)
-            v = idx * jnp.asarray(c, jnp.float32)
-        else:
-            bases = (self.base ** jnp.arange(self.level, dtype=jnp.float32)
-                     * jnp.pi)
-            v = pos * bases                                     # (B, level)
+            table = jnp.asarray(self._reference_table())
+            idx = jnp.clip(jnp.round(pos[:, 0] * self.n_frames).astype(jnp.int32),
+                           0, self.n_frames - 1)
+            pe = table[idx]
+            return pe.reshape(pos.shape[0], 1, 1, -1)
+        bases = (self.base ** jnp.arange(self.level, dtype=jnp.float32)
+                 * jnp.pi)
+        v = pos * bases                                         # (B, level)
         pe = jnp.concatenate([jnp.sin(v), jnp.cos(v)], axis=-1)
         return pe.reshape(pos.shape[0], 1, 1, -1)
+
+    def _reference_table(self):
+        import math
+
+        import numpy as np
+        import torch
+
+        bases = ((self.base ** torch.arange(self.level)) * math.pi).double()
+        pos = (torch.arange(self.n_frames, dtype=torch.float64)[:, None]
+               / self.n_frames)
+        v = pos * bases
+        return torch.cat([torch.sin(v), torch.cos(v)], dim=-1).float().numpy()
 
 
 # --------------------------------------------------------------------------

@@ -170,12 +170,14 @@ class TestTorchCompat:
 
 
 class TestPositionEncoding:
-    """Exact argument reduction for the NeRV index embedding (layers.py
-    PositionEncoding; reference _layers.py:77-85). base**79 * pi ~ 1.4e8 is
-    beyond fp32 sin argument-reduction range, so the grid path (n_frames>0)
-    reduces (base**k * pi / N) mod 2pi in float64 at trace time."""
+    """The NeRV index embedding (layers.py PositionEncoding; reference
+    _layers.py:77-85). base**79 * pi ~ 1.4e8 is beyond fp32 sin
+    argument-reduction range on TPU, so the grid path (n_frames>0)
+    precomputes the table with the reference's exact torch semantics."""
 
-    def test_reduced_matches_float64_truth(self):
+    def test_grid_matches_torch_reference(self):
+        import math
+        import torch
         from neuroquant_tpu.models.layers import PositionEncoding
         base, level, n = 1.25, 80, 132
         pe = PositionEncoding(base=base, level=level, n_frames=n)
@@ -183,10 +185,12 @@ class TestPositionEncoding:
         pos = jnp.asarray(idx / n, jnp.float32)
         got = np.asarray(pe.apply({}, pos)).reshape(n, 2 * level)
 
-        k = np.arange(level, dtype=np.float64)
-        theta = (idx[:, None] / n) * (base ** k)[None, :] * np.pi
-        want = np.concatenate([np.sin(theta), np.cos(theta)], axis=1)
-        assert np.abs(got - want).max() < 1e-3
+        # the reference pipeline: float32 bases, float64 norm_idx (python
+        # floats collate to float64), float64 sin, .float() cast
+        bases = ((base ** torch.arange(level)) * math.pi).double()
+        v = torch.tensor(idx / n, dtype=torch.float64)[:, None] * bases
+        want = torch.cat([torch.sin(v), torch.cos(v)], -1).float().numpy()
+        np.testing.assert_allclose(got, want, atol=1e-7)
 
     def test_grid_and_plain_paths_agree_at_low_levels(self):
         # where fp32 sin is accurate the two paths must be the same encoding
