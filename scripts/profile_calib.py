@@ -36,20 +36,29 @@ def main(trace_dir="/tmp/nq_calib_trace"):
     state = init_quant_state(params, spec)
     train_ind = list(range(len(ds)))
 
-    def run(iters):
+    def run(iters, dtype=None):
         t0 = time.time()
         model_reconstruction(model, params, spec, state, cali, ds.frames,
                              train_ind, batch_size=2, iters=iters,
                              weight=0.01, b_range=(20, 2), warmup=0.2,
-                             lr=0.003, seed=903, log_fn=lambda m: None)
+                             lr=0.003, seed=903, log_fn=lambda m: None,
+                             compute_dtype=dtype)
         return time.time() - t0
 
     run(132)                       # compile (phase1=0 epochs, phase2=2)
-    logging.info("warm run: %.1fs for 132 iters", run(132))
+    logging.info("warm run fp32: %.1fs for 132 iters", run(132))
     with profile_trace(trace_dir):
         dt = run(264)
-    logging.info("traced run: %.1fs for 264 iters (%.1f it/s)", dt, 264 / dt)
+    print("fp32: %.1fs for 264 iters (%.1f it/s)" % (dt, 264 / dt))
     for ms, name in summarize_trace(trace_dir, top_k=25):
+        print(f"{ms:10.1f} ms  {name}")
+
+    run(132, jnp.bfloat16)         # compile
+    dt = run(264, jnp.bfloat16)
+    print("bf16: %.1fs for 264 iters (%.1f it/s)" % (dt, 264 / dt))
+    with profile_trace(trace_dir + "_bf16"):
+        run(132, jnp.bfloat16)
+    for ms, name in summarize_trace(trace_dir + "_bf16", top_k=15):
         print(f"{ms:10.1f} ms  {name}")
 
 
