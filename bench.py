@@ -3,30 +3,43 @@
 Headline metric per BASELINE.json: calibration iters/sec for the HNeRV-Bunny
 21k-iter network-wise calibration (precision [6,5,4,5,5,6,6], Hadamard,
 channel-wise). Reference CUDA path: 21000 iters in 18m26s = 19.0 iters/s
-(results/HNeRV.../hadamard-True.../20251014_050341.log); the v5e-8 target is
->= 5x. Here we run a shortened calibration (same per-step compute) and report
-steady-state phase-2 iters/s on one chip.
+(results/HNeRV.../hadamard-True.../20251014_050341.log). Here we run a
+shortened calibration (identical per-step compute) and report steady-state
+phase-2 iters/s.
 
-Prints exactly ONE JSON line to stdout; progress goes to stderr.
+Robustness: the parent process never imports jax. The measurement runs in a
+child process that streams per-epoch throughput to a progress file; if the
+child dies (e.g. a transient TPU-worker crash through the tunneled backend),
+the parent retries once and, failing that, still emits the best partial
+steady-state number observed. Exactly ONE JSON line goes to stdout; progress
+goes to stderr.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
-import logging
+import os
+import subprocess
 import sys
+import tempfile
 import time
-
-logging.basicConfig(stream=sys.stderr, level=logging.INFO)
 
 BASELINE_ITERS_PER_SEC = 21000 / 1106.0   # 18m26s reference calib
 
+BENCH_BATCH = 2          # matches the reference calib batch
+BENCH_ITERS = 2112       # 1 phase-1 epoch + 31 phase-2 epochs at 66 steps
 
-def main():
+
+def child(progress_path: str, batch_size: int, iters: int) -> None:
+    """Run the shortened calibration and stream per-epoch iters/s."""
+    import logging
+
+    logging.basicConfig(stream=sys.stderr, level=logging.INFO)
+
     import jax
-    import jax.numpy as jnp
+    import jax.numpy as jnp  # noqa: F401
 
-    # persistent compile cache: repeated bench runs skip recompiles
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
@@ -51,45 +64,113 @@ def main():
     encode = jax.jit(lambda p, x: model.apply(p, x, method="encode"))
     t0 = time.time()
     cali_data = jax.block_until_ready(encode(params, dataset.frames))
-    logging.info("encoded %s frames in %.1fs", cali_data.shape[0], time.time() - t0)
+    logging.info("encoded %s frames in %.1fs", cali_data.shape[0],
+                 time.time() - t0)
 
     spec = make_spec("hnerv", cfg, channel_wise=True, scale_method="max",
                      hadamard=True).with_bits([6, 5, 4, 5, 5, 6, 6])
     state = init_quant_state(params, spec)
 
-    # shortened calibration with identical per-step compute as the 21k run
-    batch_size = 2
-    iters = 2112            # 1 phase-1 epoch + 31 phase-2 epochs at 66 steps
     train_ind = list(range(len(dataset)))
+    steps_per_epoch = len(train_ind) // batch_size
 
-    timings = {}
+    prog = open(progress_path, "a", buffering=1)
+    last = {"t": None, "count": 0}
 
-    def log_fn(msg):
-        logging.info(msg)
-        if msg.startswith("[calib] phase 2"):
-            timings["line"] = msg
+    def epoch_hook(e, count):
+        now = time.time()
+        if last["t"] is not None:
+            rate = (count - last["count"]) / max(now - last["t"], 1e-9)
+            # first phase-2 epoch carries the compile; flag it
+            prog.write(json.dumps({
+                "phase": 2, "epoch": e, "count": count,
+                "iters_per_sec": round(rate, 3),
+                "steady": e > 0}) + "\n")
+        last["t"], last["count"] = now, count
 
     t0 = time.time()
     state, _ = model_reconstruction(
         model, params, spec, state, cali_data, dataset.frames, train_ind,
         arch="hnerv", batch_size=batch_size, iters=iters, weight=0.01,
-        b_range=(20, 2), warmup=0.2, p=2.0, lr=0.003, seed=903, log_fn=log_fn)
+        b_range=(20, 2), warmup=0.2, p=2.0, lr=0.003, seed=903,
+        log_fn=logging.info, epoch_hook=epoch_hook)
     total = time.time() - t0
+    logging.info("total calib wall: %.1fs (%d steps/epoch)", total,
+                 steps_per_epoch)
+    prog.write(json.dumps({"done": True, "total_s": round(total, 1)}) + "\n")
+    prog.close()
 
-    # steady-state: re-run phase-2-equivalent epochs were already timed inside;
-    # parse iters/s from the phase-2 log line
-    import re
-    m = re.search(r"\(([\d.]+) iters/s\)", timings.get("line", ""))
-    iters_per_sec = float(m.group(1)) if m else (iters / total)
-    logging.info("total calib wall: %.1fs; phase2 steady-state: %.2f iters/s",
-                 total, iters_per_sec)
 
-    print(json.dumps({
+def best_steady_rate(progress_path: str) -> float | None:
+    """Median steady-state iters/s from the progress stream (None if empty)."""
+    rates = []
+    try:
+        with open(progress_path) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if rec.get("steady") and "iters_per_sec" in rec:
+                    rates.append(rec["iters_per_sec"])
+    except OSError:
+        return None
+    if not rates:
+        return None
+    rates.sort()
+    return rates[len(rates) // 2]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--child", action="store_true")
+    ap.add_argument("--progress", type=str, default="")
+    ap.add_argument("--batch_size", type=int, default=BENCH_BATCH)
+    ap.add_argument("--iters", type=int, default=BENCH_ITERS)
+    args = ap.parse_args()
+
+    if args.child:
+        child(args.progress, args.batch_size, args.iters)
+        return
+
+    progress_path = os.path.join(tempfile.gettempdir(),
+                                 f"nq_bench_{os.getpid()}.jsonl")
+    attempts = [args.iters, max(args.iters // 4, 264)]  # retry shorter
+    note = ""
+    for attempt, iters in enumerate(attempts):
+        cmd = [sys.executable, os.path.abspath(__file__), "--child",
+               "--progress", progress_path,
+               "--batch_size", str(args.batch_size), "--iters", str(iters)]
+        print(f"[bench] attempt {attempt + 1}: iters={iters}",
+              file=sys.stderr)
+        try:
+            r = subprocess.run(cmd, timeout=3600,
+                               cwd=os.path.dirname(os.path.abspath(__file__)))
+            rc = r.returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+            note = "timeout"
+        if rc == 0:
+            break
+        note = note or f"child rc={rc}"
+        print(f"[bench] attempt {attempt + 1} failed ({note}); "
+              f"{'retrying' if attempt + 1 < len(attempts) else 'giving up'}",
+              file=sys.stderr)
+        time.sleep(10)   # let a crashed TPU worker recover its claim
+
+    rate = best_steady_rate(progress_path)
+    result = {
         "metric": "hnerv_bunny_network_calib_throughput",
-        "value": round(iters_per_sec, 2),
+        "value": round(rate, 2) if rate is not None else 0.0,
         "unit": "iters/sec",
-        "vs_baseline": round(iters_per_sec / BASELINE_ITERS_PER_SEC, 2),
-    }))
+        "vs_baseline": (round(rate / BASELINE_ITERS_PER_SEC, 2)
+                        if rate is not None else 0.0),
+    }
+    if note and rate is not None:
+        result["note"] = f"partial ({note})"
+    elif note:
+        result["note"] = f"failed ({note})"
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -161,7 +161,8 @@ def model_reconstruction(model, params, spec: QuantSpec, state: Dict,
                          lr: float = 0.0015, seed: int = 903,
                          log_fn=logging.info, compute_dtype=None,
                          checkpoint_path: str | None = None,
-                         ckpt_every_epochs: int = 25, mesh=None):
+                         ckpt_every_epochs: int = 25, mesh=None,
+                         epoch_hook=None):
     """Returns (calibrated QuantState, mode='adaround'). After return, decode
     quantized with quantize_params(..., mode='adaround', soft=False).
 
@@ -230,6 +231,10 @@ def model_reconstruction(model, params, spec: QuantSpec, state: Dict,
         return rnd, b_eff
 
     def epoch_cb(e, st, count):
+        # epoch_hook first: benchmark/throughput probes observe every phase-2
+        # epoch boundary (count is synced, so the device work is done)
+        if epoch_hook is not None:
+            epoch_hook(e, count)
         if (e + 1) % ckpt_every_epochs == 0:
             save_ckpt(e, st, count)
 
