@@ -99,7 +99,26 @@ def compute_surface(model, params, spec_paths, frames, norm_idx, arch,
         pred = model.apply(p, inp)
         return jnp.mean((pred - img) ** 2)
 
-    eval_chunk = jax.jit(jax.vmap(loss_at))
+    # grid points split over the device mesh (the TPU replacement for the
+    # reference's MPI rank split, scheduler.py:37-60): shard_map hands each
+    # chip chunk/n_devices perturbed decoders to vmap locally; the result
+    # gather is implicit. (Plain input sharding can't express this: vmap over
+    # kernels lowers to a grouped conv whose groups must divide C_out.)
+    if len(jax.devices()) > 1:
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        from neuroquant_tpu.parallel import make_mesh
+        mesh = make_mesh()
+        n_dev = len(jax.devices())
+        chunk = max(chunk, n_dev)
+        chunk -= chunk % n_dev
+        eval_chunk = jax.jit(shard_map(
+            jax.vmap(loss_at), mesh=mesh, in_specs=(P("data"), P("data")),
+            out_specs=P("data"), check_rep=False))
+    else:
+        eval_chunk = jax.jit(jax.vmap(loss_at))
+
     coords = np.stack(np.meshgrid(xs, ys, indexing="ij"), -1).reshape(-1, 2)
     losses = []
     for s in range(0, len(coords), chunk):
@@ -107,7 +126,8 @@ def compute_surface(model, params, spec_paths, frames, norm_idx, arch,
         pad = chunk - len(c)
         if pad:
             c = np.concatenate([c, np.zeros((pad, 2), c.dtype)])
-        out = np.asarray(eval_chunk(jnp.asarray(c[:, 0]), jnp.asarray(c[:, 1])))
+        a, b = jnp.asarray(c[:, 0]), jnp.asarray(c[:, 1])
+        out = np.asarray(eval_chunk(a, b))
         losses.append(out[:chunk - pad] if pad else out)
         logging.info("surface: %d/%d points", min(s + chunk, len(coords)),
                      len(coords))

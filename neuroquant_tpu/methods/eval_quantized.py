@@ -78,6 +78,39 @@ def params_from_codes(params, spec: QuantSpec, codes: dict):
     return out
 
 
+def params_from_stream(params, spec: QuantSpec, decoded: dict):
+    """Dequantize entirely from the decoded bitstream — codes AND scales.
+
+    The stream's scale block is the f16 concatenation
+    [w_delta, w_zp, b_delta, b_zp] (codec.compress_artifact); splitting it
+    needs only the spec (per-channel layout) and kernel C_out. For AdaRound
+    states this is lossless: deltas/zero-points were f16-cast at the phase-2
+    hand-off (ops/quant.f16_round), so the f16 stream values are exact.
+    """
+    out = params
+    for name, path in zip(spec.layer_names, spec.layer_paths):
+        d = decoded[name]
+        layer = dict(_get(params, path))
+        cout = layer["kernel"].shape[-1]
+        n_wd = cout if spec.channel_wise else 1
+        sc = np.asarray(d["scales"], np.float32)
+        assert sc.size == 2 * n_wd + 2, (name, sc.size, n_wd)
+        wshape = (1, 1, 1, cout) if spec.channel_wise else ()
+        w_delta = sc[:n_wd].reshape(wshape)
+        w_zp = sc[n_wd:2 * n_wd].reshape(wshape)
+        b_delta, b_zp = sc[2 * n_wd], sc[2 * n_wd + 1]
+        w_deq = jnp.asarray(
+            (d["w"].astype(np.float32) - w_zp) * w_delta)
+        if spec.hadamard:
+            cin = layer["kernel"].shape[2]
+            w_deq = fwht(w_deq, axis=2)[:, :, :cin, :]
+        layer["kernel"] = w_deq
+        layer["bias"] = jnp.asarray(
+            (d["b"].astype(np.float32) - b_zp) * b_delta)
+        out = _set(out, path, layer)
+    return out
+
+
 def main(argv):
     common.enable_persistent_cache()
     args = parse_args(argv)
@@ -103,13 +136,17 @@ def main(argv):
         with open(args.from_bitstream, "rb") as f:
             stream = f.read()
         decoded = decompress_artifact(stream)
-        # splice scales saved in the artifact codes (full fp32 fidelity)
+        # cross-check every decoded payload against the artifact's codes
         codes = artifact["int_codes"]
         for name in codes:
             np.testing.assert_array_equal(decoded[name]["w"],
                                           np.asarray(codes[name]["w"]))
-        qparams = params_from_codes(params, spec, codes)
-        logging.info("reconstructed weights from bitstream %s",
+            np.testing.assert_array_equal(decoded[name]["b"],
+                                          np.asarray(codes[name]["b"]))
+        # reconstruct from the stream alone (codes + f16 scales) — the
+        # artifact contributes only unquantized parts (encoder, shapes)
+        qparams = params_from_stream(params, spec, decoded)
+        logging.info("reconstructed weights+biases+scales from bitstream %s",
                      args.from_bitstream)
     else:
         state = jax.tree_util.tree_map(jnp.asarray, artifact["quant_state"])

@@ -409,10 +409,12 @@ class KFcBias(nn.Module):
         oh, ow = self.out_height, self.out_width
 
         def kaiming_fan_out(key, shape, dtype=jnp.float32):
-            # kaiming_normal_(mode='fan_out', relu): std = sqrt(2 / fan_out),
-            # fan_out for a (c, m, n) batch of matrices is m (torch treats
-            # dim0 as out_features per matrix slice... per-tensor: dim 1)
-            fan_out = shape[-2]
+            # kaiming_normal_(mode='fan_out', relu): std = sqrt(2 / fan_out).
+            # torch's _calculate_fan_in_and_fan_out on the pre-repeat (c, m, n)
+            # tensor (_layers.py:51-53): num_output_fmaps = dim0 = c,
+            # receptive_field = prod(shape[2:]) = n, so fan_out = c * n.
+            # Our params carry a leading in_b axis: shape = (in_b, c, m, n).
+            fan_out = shape[1] * shape[-1]
             return jax.random.normal(key, shape, dtype) * math.sqrt(2.0 / fan_out)
 
         w_l = self.param("w_L", kaiming_fan_out, (1, c, oh, ih))

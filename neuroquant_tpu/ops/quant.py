@@ -99,7 +99,10 @@ def _init_scale_flat(x, n_bits: int, method: str, sym: bool):
         zp = jnp.round(-x_min / delta)
         return delta, zp
 
-    if method in ("mse", "l1"):
+    if method in ("mse", "l1", "l2"):
+        # 'l2' is advertised by the reference CLIs but unimplemented there
+        # (would raise at init, quantizer.py:225); here it is the natural
+        # p=2 member of the same shrink search.
         x_max, x_min = x.max(), x.min()
         shrink = 1.0 - 0.05 * jnp.arange(10, dtype=x.dtype)      # (10,)
         cand_max = x_max * shrink
@@ -109,6 +112,8 @@ def _init_scale_flat(x, n_bits: int, method: str, sym: bool):
             xq = _quantize_with_range(x, nmax, nmin, n_bits)
             if method == "mse":
                 return (jnp.abs(x - xq) ** 3.5).mean()   # lp_loss p=3.5 (quantizer.py:181)
+            if method == "l2":
+                return ((x - xq) ** 2).mean()
             return jnp.abs(x - xq).mean()
         scores = jax.vmap(score_one)(cand_max, cand_min)
         best = jnp.argmin(scores)
