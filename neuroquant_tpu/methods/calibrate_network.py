@@ -88,6 +88,16 @@ def parse_args(argv):
     parser.add_argument("--calib_ckpt_freq", default=25, type=int,
                         help="phase-2 crash-recovery checkpoint every N "
                              "epochs (0 disables; resumed automatically)")
+    parser.add_argument("--fq_impl", default="jnp", type=str,
+                        choices=["jnp", "pallas"],
+                        help="weight fake-quant implementation: XLA-fused "
+                             "jnp chain or the fused Pallas kernel "
+                             "(ops/pallas_fakequant.py; custom-VJP "
+                             "gradients identical)")
+    parser.add_argument("--mesh_devices", default=0, type=int,
+                        help="data-parallel calibration over an N-device "
+                             "jax mesh (frames sharded, gradient psum over "
+                             "ICI); 0/1 = single device")
     args = parser.parse_args(argv)
     # fail loudly on flag values this stage cannot honor (the reference
     # silently ignores both; VERDICT round-1 weak item 5)
@@ -147,8 +157,8 @@ def calibrate(args, cfg):
     logging.info("input embedding shape: {}".format(cali_data.shape))
 
     spec = make_spec(args.arch, cfg, channel_wise=args.channel_wise,
-                     scale_method=args.init,
-                     hadamard=args.hadamard).with_bits(args.precision)
+                     scale_method=args.init, hadamard=args.hadamard,
+                     fq_impl=args.fq_impl).with_bits(args.precision)
     args.qbits = average_bits(params, spec)
 
     init_start = time.time()
@@ -167,6 +177,18 @@ def calibrate(args, cfg):
         logging.info("{}: {}".format(k, getattr(args, k, None)))
     logging.info(f"========================== {args.arch} ==========================")
 
+    mesh = None
+    if args.mesh_devices > 1:
+        from neuroquant_tpu.parallel import make_mesh
+        mesh = make_mesh(args.mesh_devices)
+        if args.batch_size % args.mesh_devices:
+            logging.warning(
+                "batch_size %d not divisible by mesh_devices %d — XLA pads "
+                "the shards; prefer batch_size a multiple of the mesh",
+                args.batch_size, args.mesh_devices)
+        logging.info("data-parallel calibration over %d devices: %s",
+                     args.mesh_devices, mesh)
+
     import jax.numpy as jnp
     start = datetime.now()
     state, mode = model_reconstruction(
@@ -178,7 +200,7 @@ def calibrate(args, cfg):
                        else None),
         checkpoint_path=(os.path.join(args.outf, "calib_resume.pkl")
                          if args.calib_ckpt_freq else None),
-        ckpt_every_epochs=max(args.calib_ckpt_freq, 1))
+        ckpt_every_epochs=max(args.calib_ckpt_freq, 1), mesh=mesh)
     logging.info(f"Training complete in: {str(datetime.now() - start)}")
 
     qparams = quantize_params(params, spec, state, mode=mode, soft=False)

@@ -79,6 +79,10 @@ def parse_args(argv):
     parser.add_argument("--profile", action="store_true", default=False,
                         help="write a jax.profiler trace of epoch 2 to "
                              "<outf>/profile and log the top op groups")
+    parser.add_argument("--mesh_devices", default=0, type=int,
+                        help="data-parallel training over an N-device jax "
+                             "mesh (frame batch sharded, gradient psum over "
+                             "ICI); 0/1 = single device")
     return parser.parse_args(argv)
 
 
@@ -105,11 +109,13 @@ def _qat_transform(arch, cfg, mode, bits):
 
 def make_train_epoch(model, arch, loss_type, opt, frames, norm_idx,
                      steps_per_epoch, batch_size, train_ind,
-                     qat_transform=None):
+                     qat_transform=None, mesh=None):
     """One jitted epoch: shuffle train indices, scan batches, Adam updates.
 
     `frames`/`norm_idx` flow through as jit arguments (closure capture would
     embed the whole clip as an HLO constant — fatal at full resolution).
+    With `mesh`, the frame batch is sharded over the 'data' axis and XLA
+    inserts the gradient psum over ICI (params replicated).
     """
     train_ind = jnp.asarray(train_ind, jnp.int32)
 
@@ -127,6 +133,10 @@ def make_train_epoch(model, arch, loss_type, opt, frames, norm_idx,
         perm = jax.random.permutation(rng, train_ind)
         batches = perm[:steps_per_epoch * batch_size].reshape(
             steps_per_epoch, batch_size)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            batches = jax.lax.with_sharding_constraint(
+                batches, NamedSharding(mesh, P(None, "data")))
 
         def step(carry, inputs):
             sidx, idx = inputs
@@ -204,10 +214,22 @@ def train(args, cfg):
                                        args.qat_bits)
         logging.info(f"QAT enabled: mode={args.qat_mode} bits={args.qat_bits}")
 
+    mesh = None
+    if getattr(args, "mesh_devices", 0) > 1:
+        from neuroquant_tpu.parallel import make_mesh, replicate
+        mesh = make_mesh(args.mesh_devices)
+        if bs % args.mesh_devices:
+            logging.warning("batch_size %d not divisible by mesh_devices %d",
+                            bs, args.mesh_devices)
+        params = replicate(params, mesh)
+        opt_state = replicate(opt_state, mesh)
+        logging.info("data-parallel training over %d devices: %s",
+                     args.mesh_devices, mesh)
+
     run_epoch = make_train_epoch(model, args.arch, cfg["loss"], opt,
                                  dataset.frames, dataset.norm_idx,
                                  steps_per_epoch, bs, train_ind,
-                                 qat_transform=qat_transform)
+                                 qat_transform=qat_transform, mesh=mesh)
 
     start = datetime.now()
     logging.info(f"begin training on {jax.devices()[0].platform}:{jax.devices()[0]}")

@@ -11,6 +11,7 @@ import numpy as np
 from flax import linen as nn
 
 from neuroquant_tpu.models.layers import Conv2d, ConvNeXt, NeRVBlock, out_img
+from neuroquant_tpu.ops.packed_decode import depth_to_space, resolve_pack_start
 from neuroquant_tpu.ops.pixelshuffle import pixel_shuffle
 
 
@@ -29,6 +30,7 @@ class HNeRVConfig:
     dec_norm: str
     dec_acts: str
     out_bias: str
+    packed_tail: str = "auto"   # 'auto' | 'off' | explicit block index
 
     @classmethod
     def from_cfg(cls, cfg: dict) -> "HNeRVConfig":
@@ -46,6 +48,7 @@ class HNeRVConfig:
             channel_lbound=int(cfg["channel_lbound"]),
             dec_norm=cfg["dec_norm"], dec_acts=cfg["dec_acts"],
             out_bias=str(cfg["out_bias"]),
+            packed_tail=str(cfg.get("packed_tail", "auto")),
         )
 
     @property
@@ -84,6 +87,10 @@ class HNeRV(nn.Module):
                                     act=c.dec_acts))
         self.blocks = blocks
         self.head_layer = Conv2d(features=3, kernel_size=(3, 3), padding=(1, 1))
+        chans = c.decoder_channels()
+        self.pack_start = resolve_pack_start(
+            c.packed_tail, c.dec_kernels, c.dec_strides, c.dec_norm,
+            [c.dec_in_channel] + chans[:-1], chans, c.crop_h, c.crop_w)
 
     def encode(self, img):
         """NHWC frames -> (B, crop_h/prod(s), crop_w/prod(s), enc_channel[-1])."""
@@ -91,6 +98,21 @@ class HNeRV(nn.Module):
 
     def decode(self, img_embed, return_embeds: bool = False):
         c = self.cfg
+        if not return_embeds and self.pack_start is not None:
+            # fast path: the high-resolution tail runs space-to-depth packed
+            # at the pack_start block's input resolution (ops/packed_decode.py)
+            x = self.decoder0(img_embed)
+            x = pixel_shuffle(x, (c.fc_h, c.fc_w))
+            f, perm = 1, None
+            for j, blk in enumerate(self.blocks):
+                if j < self.pack_start:
+                    x = blk(x)
+                else:
+                    x, perm = blk(x, pack_in=f, absorb=True, in_perm=perm)
+                    f *= blk.stride
+            x = self.head_layer(x, pack_in=f, in_perm=perm)
+            img = out_img(x, c.out_bias)
+            return depth_to_space(img, f)
         embeds = [img_embed]
         x = self.decoder0(img_embed)
         embeds.append(x)

@@ -67,22 +67,39 @@ class Conv2d(nn.Module):
     bias_init: Callable | None = None   # default: torch U(+-1/sqrt(fan_in))
 
     @nn.compact
-    def __call__(self, x):
-        cin = x.shape[-1]
+    def __call__(self, x, pack_in: int = 1, in_perm=None):
+        """pack_in > 1 evaluates the SAME conv on a space-to-depth packed
+        input (ops/packed_decode.py) and returns the packed output — used by
+        the decoder tail so the full-resolution head conv runs with MXU-wide
+        channels. Requires odd kernel, stride 1, 'same' padding."""
+        if pack_in > 1:
+            cin = x.shape[-1] // (pack_in * pack_in)
+        else:
+            cin = x.shape[-1]
         kh, kw = self.kernel_size
         kernel = self.param(
             "kernel", self.kernel_init,
             (kh, kw, cin // self.feature_group_count, self.features))
+        bias = None
+        if self.use_bias:
+            fan_in = (cin // self.feature_group_count) * kh * kw
+            bias_init = self.bias_init or torch_bias_init(fan_in)
+            bias = self.param("bias", bias_init, (self.features,))
+        if pack_in > 1:
+            from neuroquant_tpu.ops.packed_decode import packed_conv
+
+            assert (self.strides == (1, 1) and kh == kw and kh % 2 == 1
+                    and self.padding == ((kh - 1) // 2, (kw - 1) // 2)
+                    and self.feature_group_count == 1), \
+                "packed conv needs odd-k stride-1 same-pad dense conv"
+            return packed_conv(x, kernel, bias, pack_in, in_perm=in_perm)
         dn = jax.lax.conv_dimension_numbers(
             x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
         ph, pw = self.padding
         y = jax.lax.conv_general_dilated(
             x, kernel, self.strides, [(ph, ph), (pw, pw)],
             dimension_numbers=dn, feature_group_count=self.feature_group_count)
-        if self.use_bias:
-            fan_in = (cin // self.feature_group_count) * kh * kw
-            bias_init = self.bias_init or torch_bias_init(fan_in)
-            bias = self.param("bias", bias_init, (self.features,))
+        if bias is not None:
             y = y + bias
         return y
 
@@ -212,12 +229,17 @@ class UpsampleConv(nn.Module):
     fused: str | bool = "perm"  # 'perm' | 'dilated' | False (naive)
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, pack_in: int = 1, absorb: bool = False,
+                 in_perm=None):
+        """absorb=True runs the conv on `pack_in`-packed input and absorbs
+        the PixelShuffle into the packing (no layout op at all); returns
+        (packed output, its group permutation) with the new pack factor
+        pack_in * r (ops/packed_decode.py)."""
         from neuroquant_tpu.ops.fused_upsample import (
             conv_pixel_shuffle, conv_pixel_shuffle_perm,
         )
 
-        cin = x.shape[-1]
+        cin = x.shape[-1] // (pack_in * pack_in)
         kh, kw = self.kernel_size
         rh, rw = self.r
         features = self.out_channel * rh * rw
@@ -227,6 +249,13 @@ class UpsampleConv(nn.Module):
         if self.use_bias:
             bias = self.param("bias", torch_bias_init(cin * kh * kw),
                               (features,))
+        if absorb:
+            from neuroquant_tpu.ops.packed_decode import upsample_conv_packed
+
+            assert kh == kw and kh % 2 == 1 and rh == rw
+            return upsample_conv_packed(x, kernel, bias, pack_in,
+                                        (rh, rw), in_perm=in_perm)
+        assert pack_in == 1, "pack_in > 1 requires absorb=True"
         if self.fused == "perm":
             return conv_pixel_shuffle_perm(x, kernel, bias, (rh, rw))
         if self.fused == "dilated" or self.fused is True:
@@ -264,7 +293,17 @@ class NeRVBlock(nn.Module):
         self.norm_fn = norm_layer(self.norm, self.out_channel)
         self.act_fn = activation(self.act)
 
-    def __call__(self, x):
+    def __call__(self, x, pack_in: int = 1, absorb: bool = False,
+                 in_perm=None):
+        if absorb:
+            # packed tail: the shuffle is absorbed into the pack factor; norm
+            # layers need spatial statistics, so only 'none' is packable
+            # (every shipped config uses dec_norm: none)
+            assert self.norm == "none", \
+                "packed tail requires dec_norm == 'none'"
+            y, perm = self.conv(x, pack_in=pack_in, absorb=True,
+                                in_perm=in_perm)
+            return self.act_fn(y), perm
         x = self.conv(x)
         x = self.norm_fn(x)
         return self.act_fn(x)

@@ -16,6 +16,7 @@ from flax import linen as nn
 from neuroquant_tpu.models.layers import (
     Conv2d, NeRVBlock, PositionEncoding, UpsampleConv, out_img,
 )
+from neuroquant_tpu.ops.packed_decode import depth_to_space, resolve_pack_start
 
 
 @dataclasses.dataclass(frozen=True)
@@ -33,6 +34,7 @@ class NeRVConfig:
     dec_acts: str
     out_bias: str
     n_frames: int = 0   # >0 enables exact PE argument reduction (layers.py)
+    packed_tail: str = "auto"   # 'auto' | 'off' | explicit block index
 
     @classmethod
     def from_cfg(cls, cfg: dict) -> "NeRVConfig":
@@ -47,6 +49,7 @@ class NeRVConfig:
             dec_norm=cfg["dec_norm"], dec_acts=cfg["dec_acts"],
             out_bias=str(cfg["out_bias"]),
             n_frames=int(cfg.get("n_frames", 0)),
+            packed_tail=str(cfg.get("packed_tail", "auto")),
         )
 
     @property
@@ -87,6 +90,10 @@ class NeRV(nn.Module):
                                     act=c.dec_acts))
         self.blocks = blocks
         self.head_layer = Conv2d(features=3, kernel_size=(3, 3), padding=(1, 1))
+        chans = c.decoder_channels()
+        self.pack_start = resolve_pack_start(
+            c.packed_tail, c.dec_kernels, c.dec_strides, c.dec_norm,
+            [c.dec_in_channel] + chans[:-1], chans, c.crop_h, c.crop_w)
 
     def encode(self, norm_idx):
         """(B,) normalized frame indices -> (B, 1, 1, 2*level)."""
@@ -94,6 +101,18 @@ class NeRV(nn.Module):
 
     def decode(self, img_embed, return_embeds: bool = False):
         c = self.cfg
+        if not return_embeds and self.pack_start is not None:
+            x = self.decoder0(img_embed)
+            f, perm = 1, None
+            for j, blk in enumerate(self.blocks):
+                if j < self.pack_start:
+                    x = blk(x)
+                else:
+                    x, perm = blk(x, pack_in=f, absorb=True, in_perm=perm)
+                    f *= blk.stride
+            x = self.head_layer(x, pack_in=f, in_perm=perm)
+            img = out_img(x, c.out_bias)
+            return depth_to_space(img, f)
         embeds = [img_embed]
         x = self.decoder0(img_embed)   # conv + fc-grid shuffle, fused
         embeds.append(x)

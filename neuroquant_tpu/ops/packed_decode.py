@@ -1,0 +1,299 @@
+"""Space-to-depth packed execution of the high-resolution decoder tail.
+
+The NeRV/HNeRV decoder spends its FLOPs in the last two NeRVBlocks and the
+head conv, which run at 320x640 / 640x1280 with 37-53 channels
+(reference hot op: quant_layer.py:67-81 wrapping _layers.py:20-36). On TPU
+those channel counts occupy a fraction of the 128-wide MXU lanes, so XLA
+pads every conv and the decode runs at ~5-9% MFU (round-1 profiling).
+
+Fix: keep the tail in a space-to-depth *packed* layout. A stride-1 conv with
+odd kernel k on (H, W, C) is EXACTLY a conv on the 2x2-packed tensor
+(H/2, W/2, 4C) with a block-structured kernel (derivation below) — so the
+whole tail runs at 160x320 with 176-592 channels: full MXU lanes, 1/4 the
+spatial padding, identical math. A conv's own PixelShuffle(r) *increases*
+the pack factor by r for free (the shuffle is a relabeling of packed
+channels), so once packed the tail never touches a high-resolution layout
+until the single final depth-to-space of the RGB output.
+
+Derivation (per axis; r = pack factor, p = (k-1)//2):
+  unpacked output row ro = r*h + i reads input rows ri = ro + dy - p,
+  dy in [0, k). With q = i + dy - p:  ri = r*(h + floor(q/r)) + (q mod r),
+  so packed tap offset dp = floor(q/r) + offp with offp = ceil(p + r-1 / r)
+  bounds... q in [-p, r-1+p]  =>  dp in [0, kp) with
+      offp = ceil(p / r),   kp = offp + floor((r - 1 + p) / r) + 1.
+  The packed kernel entry at (dp_y, dp_x, group_in(a,b)*Cin + ci,
+  group_out(i,j)*Cout + co) equals W[dy, dx, ci, co] for the unique (dy, dx)
+  solving the relations above, else 0. FLOP inflation = (kp*r/k)^2 per axis
+  pair; for the k=5, r=2 HNeRV tail that is 9*4/25 = 1.44x — paid back many
+  times over by lane occupancy.
+
+Channel-group layout is subposition-major: packed channel = g*C + c with
+g = perm[u*r + v] for spatial subposition (u, v). This makes the layout of
+"conv output with perm-relabeled channels" (ops/fused_upsample.py
+conv_pixel_shuffle_perm) exactly the packed representation of the shuffled
+tensor — composing a shuffle into the pack factor is a pure permutation
+`perm`, folded into the next packed kernel at trace time.
+
+Everything here is differentiable (the kernel repack is a gather), so the
+calibration loss (quantization/calibrate.py) backpropagates through the
+packed decode into the fake-quantized weights unchanged.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def plan_packed_tail(kernels, strides, in_channels, out_channels,
+                     crop_h: int, crop_w: int,
+                     head_kernel: int = 3, head_out: int = 3):
+    """Choose the block index whose PixelShuffle starts the packed tail by
+    minimizing an MXU padded-cost model.
+
+    A conv's MXU time is ~ spatial_positions * ceil(Cin/128) * ceil(Cout/128)
+    * k^2 (both channel axes pad to 128 lanes). Packing block j by
+    f_j = prod(strides[t:j]) trades kernel size k -> kp (packed_kernel_geometry)
+    against f^2-fatter channel axes at f^2-fewer positions — a win exactly
+    when the channels were padding-bound. This picks t = argmin of the summed
+    model over blocks + head (None = fully unpacked when that wins).
+
+    Measured on TPU v5e (scripts/micro_decode.py): HNeRV-3M Bunny decode
+    78 -> 391 FPS (t=3), NeRV-3M 138 -> 736 FPS (t=3); the reference GPU
+    logs 174 / 402 FPS (results/, BASELINE.md).
+    """
+    n = len(kernels)
+
+    def tiles(c):
+        return -(-int(c) // 128)
+
+    def res(j):
+        s = int(np.prod([int(x) for x in strides[j:]]))
+        return (crop_h // s) * (crop_w // s)
+
+    def plan_cost(t):
+        # t = None: fully unpacked; else blocks >= t run packed
+        total = 0
+        f = 1
+        for j in range(n):
+            k, r = int(kernels[j]), int(strides[j])
+            cin, cout = int(in_channels[j]), int(out_channels[j]) * r * r
+            if t is None or j <= t:
+                if k % 2 == 0 and t is not None and j == t:
+                    return None
+                total += res(j) * tiles(cin) * tiles(cout) * k * k
+            else:
+                if k % 2 == 0:
+                    return None
+                kp, _ = packed_kernel_geometry(k, f)
+                total += (res(j) // (f * f) * tiles(cin * f * f)
+                          * tiles(cout * f * f) * kp * kp)
+            if t is not None and j >= t:
+                f *= r
+        # head conv at crop resolution, packed by the final factor
+        hk, hin = int(head_kernel), int(out_channels[-1])
+        if t is None:
+            total += crop_h * crop_w * tiles(hin) * tiles(head_out) * hk * hk
+        else:
+            if hk % 2 == 0:
+                return None
+            kp, _ = packed_kernel_geometry(hk, f)
+            total += (crop_h * crop_w // (f * f) * tiles(hin * f * f)
+                      * tiles(head_out * f * f) * kp * kp)
+        return total
+
+    candidates = {None: plan_cost(None)}
+    for t in range(n):
+        # packing must start where spatial dims divide evenly (they always
+        # do on the stride grid) and strides are isotropic ints
+        candidates[t] = plan_cost(t)
+    valid = {t: c for t, c in candidates.items() if c is not None}
+    return min(valid, key=valid.get)
+
+
+def resolve_pack_start(packed_tail, kernels, strides, dec_norm: str,
+                       in_channels, out_channels, crop_h: int, crop_w: int):
+    """Resolve a model config's `packed_tail` knob ('auto' | 'off' | explicit
+    block index as str/int) into a pack-start block index or None."""
+    if dec_norm != "none" or str(packed_tail).lower() in ("off", "false", "none"):
+        return None
+    if str(packed_tail).lower() in ("auto", "true"):
+        return plan_packed_tail(kernels, strides, in_channels, out_channels,
+                                crop_h, crop_w)
+    t = int(packed_tail)
+    return t if 0 <= t < len(kernels) else None
+
+
+def packed_kernel_geometry(k: int, r: int) -> Tuple[int, int]:
+    """(kp, offp): packed kernel size and left pad for an odd-k stride-1 conv
+    executed on r-packed tensors."""
+    p = (k - 1) // 2
+    offp = -((-p) // r) if p else 0          # ceil(p / r)
+    kp = offp + (r - 1 + p) // r + 1
+    return kp, offp
+
+
+@lru_cache(maxsize=256)
+def _axis_map(k: int, r: int):
+    """(kp, r_in, r_out) int array: dy for each (dp, a_in, i_out), or k
+    (sentinel row of a zero-padded kernel) when no tap maps there."""
+    p = (k - 1) // 2
+    kp, offp = packed_kernel_geometry(k, r)
+    m = np.full((kp, r, r), k, dtype=np.int32)
+    for i_out in range(r):
+        for dy in range(k):
+            q = i_out + dy - p
+            dp = q // r + offp               # python floor-div
+            a_in = q % r
+            m[dp, a_in, i_out] = dy
+    return m
+
+
+def identity_perm(r: int) -> np.ndarray:
+    return np.arange(r * r, dtype=np.int64)
+
+
+def compose_shuffle_perm(in_perm: np.ndarray, f: int, r: int) -> np.ndarray:
+    """Layout permutation after a PixelShuffle(r) absorbed into the packing.
+
+    Input: tensor packed by f with subpos-major groups `in_perm` whose
+    per-group channels carry a perm-relabeled conv output (shuffle group
+    (i, j) major, ops/fused_upsample.py:81). Output: the f*r-packed layout of
+    the shuffled tensor: subposition (u, v) = (a*r + i, b*r + j) lives at
+    group in_perm[a*f_? ...] — computed positionally below.
+    """
+    fr = f * r
+    out = np.empty(fr * fr, dtype=np.int64)
+    for a in range(f):
+        for b in range(f):
+            g_outer = in_perm[a * f + b]
+            for i in range(r):
+                for j in range(r):
+                    u, v = a * r + i, b * r + j
+                    # channel index inside group g_outer: (i*r + j)*C + c,
+                    # so global group = g_outer*(r*r) + i*r + j
+                    out[u * fr + v] = g_outer * (r * r) + i * r + j
+    return out
+
+
+def space_to_depth(x, r: int, perm: np.ndarray | None = None):
+    """(N, H, W, C) -> (N, H/r, W/r, r*r*C), subposition (u, v) at channel
+    group perm[u*r+v] (identity by default)."""
+    if r == 1:
+        return x
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // r, r, w // r, r, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)        # (n, h', w', u, v, c)
+    x = x.reshape(n, h // r, w // r, r * r, c)
+    if perm is not None:
+        inv = np.argsort(np.asarray(perm))
+        x = x[:, :, :, inv, :]               # group g holds subpos inv[g]
+    return x.reshape(n, h // r, w // r, r * r * c)
+
+
+def depth_to_space(x, r: int, perm: np.ndarray | None = None):
+    """Inverse of :func:`space_to_depth`. The transpose keeps a contiguous
+    (v, C) minor block — near-bandwidth on TPU (cf. conv_pixel_shuffle_perm)."""
+    if r == 1:
+        return x
+    n, h, w, gc = x.shape
+    c = gc // (r * r)
+    x = x.reshape(n, h, w, r * r, c)
+    if perm is not None:
+        x = x[:, :, :, np.asarray(perm), :]  # subpos s now at slot s
+    x = x.reshape(n, h, w, r, r, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)        # (n, h, u, w, v, c)
+    return x.reshape(n, h * r, w * r, c)
+
+
+def pack_conv_kernel(w_hwio, r: int, in_perm: np.ndarray | None = None,
+                     out_perm: np.ndarray | None = None):
+    """Repack an odd-k stride-1 conv kernel (k, k, Cin, Cout) into the
+    (kp, kp, r^2*Cin, r^2*Cout) kernel acting on r-packed tensors.
+
+    `in_perm` / `out_perm`: subpos-major group layouts of the packed input /
+    output (see module docstring). Pure gather — differentiable w.r.t. w.
+    """
+    k = int(w_hwio.shape[0])
+    assert w_hwio.shape[1] == k and k % 2 == 1, w_hwio.shape
+    cin, cout = int(w_hwio.shape[2]), int(w_hwio.shape[3])
+    m = _axis_map(k, r)                       # (kp, r, r) of dy | k
+    kp = m.shape[0]
+    wp = jnp.pad(w_hwio, ((0, 1), (0, 1), (0, 0), (0, 0)))  # zero sentinel
+    idx_y = jnp.asarray(m)                    # (kp, a, i)
+    idx_x = jnp.asarray(np.minimum(m, k))     # same map for x axis
+    # K[(py, a, i), (px, b, j), ci, co] = wp[dy, dx, ci, co]
+    kk = wp[idx_y]                            # (kp, a, i, k+1, cin, cout)
+    kk = jnp.take(kk, idx_x, axis=3)          # (kp, a, i, kp, b, j, cin, cout)
+    kk = kk.transpose(0, 3, 1, 4, 6, 2, 5, 7)  # (py, px, a, b, cin, i, j, cout)
+    kk = kk.reshape(kp, kp, r * r, cin, r * r, cout)
+    if in_perm is not None:
+        kk = kk[:, :, np.argsort(np.asarray(in_perm)), :, :, :]
+    if out_perm is not None:
+        kk = kk[:, :, :, :, np.argsort(np.asarray(out_perm)), :]
+    return kk.reshape(kp, kp, r * r * cin, r * r * cout)
+
+
+def packed_conv(x, w_hwio, bias, r: int, in_perm=None, out_perm=None):
+    """conv(x_unpacked, w, pad=(k-1)//2) evaluated on the r-packed `x`.
+
+    Returns the r-packed conv output (layout `out_perm`). `bias` is the
+    UNPACKED per-channel bias (broadcast over subpositions)."""
+    k = int(w_hwio.shape[0])
+    kp, offp = packed_kernel_geometry(k, r)
+    kk = pack_conv_kernel(w_hwio, r, in_perm, out_perm)
+    dn = jax.lax.conv_dimension_numbers(x.shape, kk.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(
+        x, kk, (1, 1), [(offp, offp), (offp, offp)], dimension_numbers=dn)
+    if bias is not None:
+        cout = int(w_hwio.shape[3])
+        b = jnp.tile(bias, r * r)             # same bias in every group
+        y = y + b
+    return y
+
+
+def upsample_conv_packed(x, w_hwio, bias, f: int, r: Tuple[int, int] | int,
+                         in_perm=None):
+    """One NeRVBlock upsample (conv k -> PixelShuffle(r)) on f-packed input.
+
+    The conv produces Cout*r^2 channels; instead of shuffling, the r^2
+    factor is absorbed into the pack factor: the result is (f*r)-packed with
+    layout `compose_shuffle_perm(out_groups, f, r)`. Returns (y, new_perm).
+
+    The conv's own output groups use the perm relabeling (shuffle-group
+    major) exactly like conv_pixel_shuffle_perm: kernel columns are
+    relabeled c*(r*r) + i*r + j  ->  (i*r + j)*C + c before packing.
+    """
+    rh, rw = (r, r) if isinstance(r, int) else r
+    assert rh == rw, "packed tail requires isotropic strides"
+    r = rh
+    kh, kw, cin, cout_rr = w_hwio.shape
+    cout = cout_rr // (r * r)
+    # relabel output channels to shuffle-subposition-major (free)
+    w = w_hwio.reshape(kh, kw, cin, cout, r, r)
+    w = w.transpose(0, 1, 2, 4, 5, 3).reshape(kh, kw, cin, cout_rr)
+    b = None
+    if bias is not None:
+        b = bias.reshape(cout, r, r).transpose(1, 2, 0).reshape(-1)
+    if f == 1:
+        # plain conv; output is r-packed with identity groups = shuffle groups
+        p = (kh - 1) // 2
+        dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            x, w, (1, 1), [(p, p), (p, p)], dimension_numbers=dn)
+        if b is not None:
+            y = y + b
+        return y, identity_perm(r)
+    # packed conv: treat the relabeled kernel as cin -> cout_rr; the output
+    # "channel" axis of size f^2 * cout_rr then represents pack factor f*r
+    y = packed_conv(x, w, b, f, in_perm=in_perm, out_perm=None)
+    # output groups: outer subpos (a, b) [identity] each holding shuffle
+    # groups (i, j) major -> composed (f*r)-packing permutation
+    new_perm = compose_shuffle_perm(identity_perm(f), f, r)
+    return y, new_perm

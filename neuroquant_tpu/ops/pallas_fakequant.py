@@ -13,9 +13,14 @@ Weights enter as (R, C) with R = C_out * KH * KW rows grouped C_out-major so
 the per-output-channel scale/zero-point broadcast as per-row vectors.
 `fused_fake_quant_hwio` handles the HWIO reshape/pad plumbing.
 
-Autodiff: a custom VJP reproduces the STE/AdaRound gradients of the jnp path
-(ops/quant.py), so the kernel is usable inside the jitted calibration loss
-as well as for inference.
+Autodiff: `pallas_uaq_fake_quant` / `pallas_ada_fake_quant` wrap the kernel
+in a jax.custom_vjp whose backward pass is the VJP of the jnp reference
+implementation (`_jnp_reference`, the same math as quantization/qmodel.py)
+— gradient parity with the jnp path holds by construction (STE through
+round, zero-grad floor + rectified-sigmoid alpha grad for AdaRound, clip
+masks, FWHT self-adjointness). The raw `fused_fake_quant_hwio` is
+forward-only. Select the kernel in the calibration pipeline with
+QuantSpec(fq_impl='pallas') / calibrate_network --fq_impl pallas.
 """
 
 from __future__ import annotations
@@ -152,3 +157,71 @@ def fused_fake_quant_hwio(w_hwio, delta, zp, n_bits: int,
                          alpha2=alpha2, soft=soft, interpret=interpret)
     out = out2.reshape(cout, kh, kw, cpad).transpose(1, 2, 3, 0)
     return out[:, :, :cin, :]
+
+
+# --------------------------------------------------------------------------
+# Differentiable wrappers: Pallas forward, jnp-reference-VJP backward.
+# --------------------------------------------------------------------------
+def _jnp_reference(w, delta, zp, alpha, n_bits: int, hadamard: bool,
+                   soft: bool):
+    """The jnp fake-quant chain this kernel fuses (quantization/qmodel.py
+    _fq_weight) — the backward passes below differentiate THIS, so kernel
+    gradients match the jnp path exactly."""
+    from neuroquant_tpu.ops import quant as Q
+    from neuroquant_tpu.ops.hadamard import fwht, pad_cin_to_pow2
+
+    cin = w.shape[2]
+    x = fwht(pad_cin_to_pow2(w), axis=2) if hadamard else w
+    if alpha is None:
+        xq = Q.uaq_fake_quant(x, delta, zp, n_bits)
+    else:
+        xq = Q.adaround_fake_quant(x, delta, zp, alpha, n_bits, soft=soft)
+    if hadamard:
+        xq = fwht(xq, axis=2)[:, :, :cin, :]
+    return xq
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def pallas_uaq_fake_quant(w, delta, zp, n_bits, hadamard):
+    """UAQ fake-quant of an HWIO weight: fused Pallas forward, STE backward."""
+    return fused_fake_quant_hwio(w, delta, zp, n_bits, hadamard=hadamard)
+
+
+def _uaq_fwd(w, delta, zp, n_bits, hadamard):
+    return pallas_uaq_fake_quant(w, delta, zp, n_bits, hadamard), (w, delta, zp)
+
+
+def _uaq_bwd(n_bits, hadamard, res, g):
+    w, delta, zp = res
+    _, vjp = jax.vjp(
+        lambda w, d, z: _jnp_reference(w, d, z, None, n_bits, hadamard, True),
+        w, delta, zp)
+    return vjp(g)
+
+
+pallas_uaq_fake_quant.defvjp(_uaq_fwd, _uaq_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def pallas_ada_fake_quant(w, delta, zp, alpha, n_bits, hadamard, soft):
+    """AdaRound fake-quant: fused Pallas forward; backward gives the
+    rectified-sigmoid alpha gradient (and zero grad to w through floor,
+    matching torch)."""
+    return fused_fake_quant_hwio(w, delta, zp, n_bits, hadamard=hadamard,
+                                 alpha=alpha, soft=soft)
+
+
+def _ada_fwd(w, delta, zp, alpha, n_bits, hadamard, soft):
+    out = pallas_ada_fake_quant(w, delta, zp, alpha, n_bits, hadamard, soft)
+    return out, (w, delta, zp, alpha)
+
+
+def _ada_bwd(n_bits, hadamard, soft, res, g):
+    w, delta, zp, alpha = res
+    _, vjp = jax.vjp(
+        lambda w, d, z, a: _jnp_reference(w, d, z, a, n_bits, hadamard, soft),
+        w, delta, zp, alpha)
+    return vjp(g)
+
+
+pallas_ada_fake_quant.defvjp(_ada_fwd, _ada_bwd)

@@ -99,7 +99,22 @@ def adaround_upgrade(params, spec: QuantSpec, state: Dict) -> Dict:
     return new_state
 
 
-def _fq_weight(w, s, bits: int, hadamard: bool, mode: str, soft: bool):
+def _fq_weight(w, s, bits: int, hadamard: bool, mode: str, soft: bool,
+               impl: str = "jnp"):
+    if impl == "pallas":
+        # fused FWHT -> quant -> FWHT Pallas kernel with a custom VJP whose
+        # backward is the VJP of this function's jnp branch
+        from neuroquant_tpu.ops.pallas_fakequant import (
+            pallas_ada_fake_quant, pallas_uaq_fake_quant,
+        )
+
+        if mode == "uaq":
+            return pallas_uaq_fake_quant(w, s["w_delta"], s["w_zp"], bits,
+                                         hadamard)
+        if mode == "adaround":
+            return pallas_ada_fake_quant(w, s["w_delta"], s["w_zp"],
+                                         s["w_alpha"], bits, hadamard, soft)
+        raise ValueError(mode)
     cin = w.shape[2]
     x = _hadamard_weight(w) if hadamard else w
     if mode == "uaq":
@@ -137,7 +152,8 @@ def quantize_params(params, spec: QuantSpec, state: Dict, mode: str = "uaq",
         s = state[name]
         new_layer = dict(layer)
         new_layer["kernel"] = _fq_weight(layer["kernel"], s, bits,
-                                         spec.hadamard, mode, soft)
+                                         spec.hadamard, mode, soft,
+                                         impl=getattr(spec, "fq_impl", "jnp"))
         new_layer["bias"] = _fq_bias(layer["bias"], s, bits, mode, soft)
         out = _set(out, path, new_layer)
     return out

@@ -23,6 +23,7 @@ class QuantSpec:
     scale_method: str = "max"
     hadamard: bool = False
     sym: bool = False
+    fq_impl: str = "jnp"   # 'jnp' | 'pallas' (ops/pallas_fakequant.py)
 
     def __post_init__(self):
         assert len(self.layer_names) == len(self.layer_paths) == len(self.n_bits)
@@ -44,11 +45,12 @@ class QuantSpec:
 
 def make_spec(arch: str, cfg: dict, n_bits: int = 8, channel_wise: bool = True,
               scale_method: str = "max", hadamard: bool = False,
-              sym: bool = False) -> QuantSpec:
+              sym: bool = False, fq_impl: str = "jnp") -> QuantSpec:
     """Spec over the arch's quantizable conv layers in reference traversal
     order (7 for NeRV/HNeRV: decoder[0], 5 block convs, head)."""
     paths = tuple(tuple(p) for p in quant_layer_paths(arch, cfg))
     names = tuple("/".join(p) for p in paths)
     return QuantSpec(layer_names=names, layer_paths=paths,
                      n_bits=(n_bits,) * len(paths), channel_wise=channel_wise,
-                     scale_method=scale_method, hadamard=hadamard, sym=sym)
+                     scale_method=scale_method, hadamard=hadamard, sym=sym,
+                     fq_impl=fq_impl)

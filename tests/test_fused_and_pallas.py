@@ -270,3 +270,90 @@ class TestDataParallelCalibration:
                 np.testing.assert_allclose(np.asarray(s1[ln][k]),
                                            np.asarray(s2[ln][k]),
                                            rtol=1e-4, atol=1e-5)
+
+
+class TestPallasCustomVJP:
+    """The differentiable kernel wrappers must give EXACTLY the jnp path's
+    gradients (their backward is the VJP of the jnp reference)."""
+
+    @pytest.mark.parametrize("hadamard", [True, False])
+    def test_uaq_grads_match_jnp(self, hadamard):
+        from neuroquant_tpu.ops import quant as Q
+        from neuroquant_tpu.ops.hadamard import fwht, pad_cin_to_pow2
+        from neuroquant_tpu.ops.pallas_fakequant import (
+            _jnp_reference, pallas_uaq_fake_quant,
+        )
+
+        w = jax.random.normal(jax.random.PRNGKey(0), (3, 3, 5, 6))
+        dom = fwht(pad_cin_to_pow2(w), axis=2) if hadamard else w
+        delta, zp = Q.init_weight_scale(dom, 4, True, "max")
+
+        def loss_pallas(w, d):
+            return (pallas_uaq_fake_quant(w, d, zp, 4, hadamard) ** 2).sum()
+
+        def loss_jnp(w, d):
+            return (_jnp_reference(w, d, zp, None, 4, hadamard, True) ** 2).sum()
+
+        (gw_p, gd_p) = jax.grad(loss_pallas, argnums=(0, 1))(w, delta)
+        (gw_j, gd_j) = jax.grad(loss_jnp, argnums=(0, 1))(w, delta)
+        np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_j),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gd_p), np.asarray(gd_j),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_adaround_alpha_grads_match_jnp(self):
+        from neuroquant_tpu.ops import quant as Q
+        from neuroquant_tpu.ops.hadamard import fwht
+        from neuroquant_tpu.ops.pallas_fakequant import (
+            _jnp_reference, pallas_ada_fake_quant,
+        )
+
+        w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 8, 4))
+        dom = fwht(w, axis=2)
+        delta, zp = Q.init_weight_scale(dom, 6, True, "max")
+        alpha = Q.adaround_init_alpha(dom, delta)
+
+        def loss_pallas(a):
+            return (pallas_ada_fake_quant(w, delta, zp, a, 6, True, True)
+                    ** 2).sum()
+
+        def loss_jnp(a):
+            return (_jnp_reference(w, delta, zp, a, 6, True, True) ** 2).sum()
+
+        ga_p = jax.grad(loss_pallas)(alpha)
+        ga_j = jax.grad(loss_jnp)(alpha)
+        assert float(jnp.abs(ga_j).max()) > 0    # non-degenerate
+        np.testing.assert_allclose(np.asarray(ga_p), np.asarray(ga_j),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_quantize_params_pallas_impl(self, tiny_hnerv_cfg):
+        """quantize_params(spec.fq_impl='pallas') == jnp impl, fwd + grads."""
+        import dataclasses
+
+        from neuroquant_tpu.models import build_model
+        from neuroquant_tpu.quantization import init_quant_state, make_spec
+        from neuroquant_tpu.quantization.qmodel import quantize_params
+
+        model = build_model("hnerv", tiny_hnerv_cfg)
+        x = jnp.asarray(np.random.RandomState(0).rand(2, 80, 160, 3),
+                        jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), x)
+        spec_j = make_spec("hnerv", tiny_hnerv_cfg, channel_wise=True,
+                           scale_method="max", hadamard=True)
+        spec_p = dataclasses.replace(spec_j, fq_impl="pallas")
+        state = init_quant_state(params, spec_j)
+
+        def out_sq(spec):
+            def f(state):
+                qp = quantize_params(params, spec, state, mode="uaq")
+                emb = model.apply(params, x, method="encode")
+                return (model.apply(qp, emb, method="decode") ** 2).mean()
+            return f
+
+        vj, gj = jax.value_and_grad(out_sq(spec_j))(state)
+        vp, gp = jax.value_and_grad(out_sq(spec_p))(state)
+        np.testing.assert_allclose(float(vp), float(vj), rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(gp),
+                        jax.tree_util.tree_leaves(gj)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)

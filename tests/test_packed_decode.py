@@ -1,0 +1,164 @@
+"""Space-to-depth packed decoder tail (ops/packed_decode.py): exact
+equivalence with the reference conv + PixelShuffle composition
+(_layers.py:20-36), gradients, and the cost-model plan."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neuroquant_tpu.ops.packed_decode import (
+    depth_to_space, pack_conv_kernel, packed_conv, packed_kernel_geometry,
+    plan_packed_tail, space_to_depth, upsample_conv_packed,
+)
+from neuroquant_tpu.ops.pixelshuffle import pixel_shuffle
+
+
+def _conv(x, w, b, pad):
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(x, w, (1, 1), [(pad, pad), (pad, pad)],
+                                     dimension_numbers=dn)
+    return y + b if b is not None else y
+
+
+class TestPackedConv:
+    @pytest.mark.parametrize("k,r", [(5, 2), (3, 2), (3, 4), (1, 2), (5, 4), (7, 2)])
+    def test_matches_unpacked(self, k, r):
+        rng = np.random.RandomState(k * 10 + r)
+        x = jnp.asarray(rng.randn(2, 4 * r, 6 * r, 7), jnp.float32)
+        w = jnp.asarray(rng.randn(k, k, 7, 9), jnp.float32)
+        b = jnp.asarray(rng.randn(9), jnp.float32)
+        ref = _conv(x, w, b, (k - 1) // 2)
+        got = depth_to_space(packed_conv(space_to_depth(x, r), w, b, r), r)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4, rtol=1e-4)
+
+    def test_geometry(self):
+        assert packed_kernel_geometry(5, 2) == (3, 1)
+        assert packed_kernel_geometry(3, 2) == (3, 1)
+        assert packed_kernel_geometry(3, 4) == (3, 1)
+        assert packed_kernel_geometry(1, 2) == (1, 0)
+
+    def test_perm_roundtrip(self):
+        x = jnp.asarray(np.random.RandomState(1).randn(1, 8, 8, 6), jnp.float32)
+        perm = np.random.RandomState(2).permutation(4)
+        back = depth_to_space(space_to_depth(x, 2, perm), 2, perm)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+    def test_kernel_repack_is_linear_gather(self):
+        # differentiability: d(packed_kernel)/dw is a 0/1 gather
+        w = jnp.ones((3, 3, 2, 2))
+        g = jax.grad(lambda w: pack_conv_kernel(w, 2).sum())(w)
+        # every original tap appears exactly r*r = 4 times
+        np.testing.assert_array_equal(np.asarray(g), np.full_like(w, 4.0))
+
+
+class TestPackedTailChain:
+    def test_hnerv_like_chain(self):
+        """conv5/s2 -> gelu -> conv5/s2 -> gelu -> head conv3 as packed tail."""
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, 16, 24, 13), jnp.float32)
+        wA = jnp.asarray(rng.randn(5, 5, 13, 32) * 0.1, jnp.float32)
+        bA = jnp.asarray(rng.randn(32) * 0.1, jnp.float32)
+        wB = jnp.asarray(rng.randn(5, 5, 8, 24) * 0.1, jnp.float32)
+        bB = jnp.asarray(rng.randn(24) * 0.1, jnp.float32)
+        wH = jnp.asarray(rng.randn(3, 3, 6, 3) * 0.1, jnp.float32)
+        bH = jnp.asarray(rng.randn(3) * 0.1, jnp.float32)
+        gelu = jax.nn.gelu
+        ref = gelu(pixel_shuffle(_conv(x, wA, bA, 2), 2))
+        ref = gelu(pixel_shuffle(_conv(ref, wB, bB, 2), 2))
+        ref = _conv(ref, wH, bH, 1)
+        y, perm = upsample_conv_packed(x, wA, bA, 1, 2)
+        y = gelu(y)
+        y, perm = upsample_conv_packed(y, wB, bB, 2, 2, in_perm=perm)
+        y = gelu(y)
+        y = packed_conv(y, wH, bH, 4, in_perm=perm)
+        got = depth_to_space(y, 4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+
+
+class TestModelPackedDecode:
+    def _models(self, tiny_hnerv_cfg, packed_tail):
+        from neuroquant_tpu.models import build_model
+
+        cfg = dict(tiny_hnerv_cfg, packed_tail=packed_tail)
+        return build_model("hnerv", cfg)
+
+    def test_hnerv_fast_path_matches(self, tiny_hnerv_cfg):
+        # force packing at block 1 (tiny channels make the auto plan decline)
+        m = self._models(tiny_hnerv_cfg, packed_tail=1)
+        x = jnp.asarray(np.random.RandomState(0).rand(2, 80, 160, 3), jnp.float32)
+        params = m.init(jax.random.PRNGKey(0), x)
+        emb = m.apply(params, x, method="encode")
+        fast = m.apply(params, emb, method="decode")
+        slow, _ = m.apply(params, emb, method="decode", return_embeds=True)
+        assert float(jnp.abs(fast - slow).max()) < 1e-5
+
+    def test_nerv_fast_path_matches_and_grads(self, tiny_nerv_cfg):
+        from neuroquant_tpu.models import build_model
+
+        cfg = dict(tiny_nerv_cfg, n_frames=8, packed_tail=1)
+        m = build_model("nerv", cfg)
+        ni = jnp.asarray([0.25, 0.625])
+        params = m.init(jax.random.PRNGKey(1), ni)
+        emb = m.apply(params, ni, method="encode")
+        fast = m.apply(params, emb, method="decode")
+        slow, _ = m.apply(params, emb, method="decode", return_embeds=True)
+        assert float(jnp.abs(fast - slow).max()) < 1e-5
+
+        def loss(p, use_fast):
+            out = m.apply(p, emb, method="decode") if use_fast else \
+                m.apply(p, emb, method="decode", return_embeds=True)[0]
+            return ((out - 0.5) ** 2).mean()
+
+        g_fast = jax.grad(loss)(params, True)
+        g_slow = jax.grad(loss)(params, False)
+        leaves_f = jax.tree_util.tree_leaves(g_fast)
+        leaves_s = jax.tree_util.tree_leaves(g_slow)
+        for a, b in zip(leaves_f, leaves_s):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6, rtol=1e-4)
+
+    def test_quantized_decode_packed(self, tiny_hnerv_cfg):
+        """quantize_params -> packed decode == quantize_params -> unpacked."""
+        from neuroquant_tpu.models import build_model
+        from neuroquant_tpu.quantization import (
+            init_quant_state, make_spec, quantize_params,
+        )
+
+        cfg = dict(tiny_hnerv_cfg, packed_tail=1)
+        m = build_model("hnerv", cfg)
+        x = jnp.asarray(np.random.RandomState(3).rand(2, 80, 160, 3), jnp.float32)
+        params = m.init(jax.random.PRNGKey(0), x)
+        emb = m.apply(params, x, method="encode")
+        spec = make_spec("hnerv", cfg, channel_wise=True, scale_method="max",
+                         hadamard=True)
+        state = init_quant_state(params, spec)
+        qp = quantize_params(params, spec, state, mode="uaq")
+        fast = m.apply(qp, emb, method="decode")
+        slow, _ = m.apply(qp, emb, method="decode", return_embeds=True)
+        assert float(jnp.abs(fast - slow).max()) < 1e-5
+
+
+class TestPlan:
+    def test_bunny_shapes_pick_t3(self):
+        # HNeRV-3M Bunny: kernels [1,3,5,5,5], strides [5,4,4,2,2]
+        chans = [77, 64, 53, 44, 37]
+        t = plan_packed_tail([1, 3, 5, 5, 5], [5, 4, 4, 2, 2],
+                             [92] + chans[:-1], chans, 640, 1280)
+        assert t == 3
+        # NeRV-3M: kernels all 3
+        chans = [72, 36, 24, 24, 24]
+        t = plan_packed_tail([3, 3, 3, 3, 3], [5, 4, 4, 2, 2],
+                             [145] + chans[:-1], chans, 640, 1280)
+        assert t == 3
+
+    def test_tiny_channels_pack_head_only(self):
+        # sub-128 channels: packing the convs only adds FLOPs, but absorbing
+        # the LAST block's shuffle still wins — the 3-output-channel head at
+        # full resolution is maximally lane-padded, so the model packs it
+        t = plan_packed_tail([1, 3, 3], [5, 4, 4], [24, 20, 17], [20, 17, 14],
+                             80, 160)
+        assert t == 2
