@@ -68,7 +68,7 @@ def symmetric_quantize_layer(w, n_bits: int):
 
 def compute_surface(model, params, spec_paths, frames, norm_idx, arch,
                     xs, ys, batch_idx, chunk: int = 8, lid: int = -1,
-                    b_w: int = 0, seed: int = 123):
+                    b_w: int = 0, seed: int = 123, dirs=None):
     import jax
     import jax.numpy as jnp
 
@@ -82,10 +82,13 @@ def compute_surface(model, params, spec_paths, frames, norm_idx, arch,
         params = _set(params, path, layer)
 
     kernels = [_get(params, p)["kernel"] for p in spec_paths]
-    rng = jax.random.PRNGKey(seed)
-    r1, r2 = jax.random.split(rng)
-    d1 = filter_normalized_direction(r1, kernels)
-    d2 = filter_normalized_direction(r2, kernels)
+    if dirs is not None:
+        d1, d2 = dirs   # e.g. PCA directions from the optimization path
+    else:
+        rng = jax.random.PRNGKey(seed)
+        r1, r2 = jax.random.split(rng)
+        d1 = filter_normalized_direction(r1, kernels)
+        d2 = filter_normalized_direction(r2, kernels)
 
     img = frames[batch_idx]
     inp = norm_idx[batch_idx] if arch == "nerv" else img
@@ -134,12 +137,124 @@ def compute_surface(model, params, spec_paths, frames, norm_idx, arch,
     return np.concatenate(losses).reshape(len(xs), len(ys))
 
 
+def compute_line(model, params, spec_paths, frames, norm_idx, arch, xs,
+                 batch_idx, chunk: int = 8, lid: int = -1, b_w: int = 0,
+                 seed: int = 123):
+    """1-D loss/PSNR curve along one filter-normalized direction (the
+    reference fork's plot_1D.py loss/accuracy line; PSNR stands in for the
+    classification accuracy axis)."""
+    import jax
+    import jax.numpy as jnp
+
+    from neuroquant_tpu.quantization.qmodel import _get, _set
+
+    if lid >= 0 and b_w > 0:
+        path = spec_paths[lid]
+        layer = dict(_get(params, path))
+        layer["kernel"] = symmetric_quantize_layer(layer["kernel"], b_w)
+        params = _set(params, path, layer)
+
+    kernels = [_get(params, p)["kernel"] for p in spec_paths]
+    d1 = filter_normalized_direction(jax.random.PRNGKey(seed), kernels)
+    img = frames[batch_idx]
+    inp = norm_idx[batch_idx] if arch == "nerv" else img
+
+    def loss_at(alpha):
+        p = params
+        for path, w, a in zip(spec_paths, kernels, d1):
+            layer = dict(_get(p, path))
+            layer["kernel"] = w + alpha * a
+            p = _set(p, path, layer)
+        pred = model.apply(p, inp)
+        return jnp.mean((pred - img) ** 2)
+
+    eval_chunk = jax.jit(jax.vmap(loss_at))
+    losses = []
+    for s in range(0, len(xs), chunk):
+        c = np.asarray(xs[s:s + chunk], np.float32)
+        pad = chunk - len(c)
+        if pad:
+            c = np.concatenate([c, np.zeros(pad, c.dtype)])
+        out = np.asarray(eval_chunk(jnp.asarray(c)))
+        losses.append(out[:chunk - pad] if pad else out)
+        logging.info("line: %d/%d points", min(s + chunk, len(xs)), len(xs))
+    losses = np.concatenate(losses)
+    psnr = -10.0 * np.log10(losses + 1e-9)
+    return losses, psnr
+
+
+def flatten_dirlist(dirs):
+    return np.concatenate([np.asarray(d).reshape(-1) for d in dirs])
+
+
+def pca_directions(ckpt_files, final_kernels, arch, params_template,
+                   spec_paths):
+    """PCA(2) of the optimization path w_i - w_final over the decoder conv
+    kernels (the reference's setup_PCA_directions, projection.py:179-240;
+    biases ignored = its 'biasbn' mode). Returns (d1_list, d2_list,
+    explained_variance_ratio)."""
+    from neuroquant_tpu.quantization.qmodel import _get
+    from neuroquant_tpu.utils.torch_compat import load_pth
+
+    mat = []
+    for f in ckpt_files:
+        p = load_pth(f, arch, params_template)
+        ks = [_get(p, path)["kernel"] for path in spec_paths]
+        mat.append(flatten_dirlist([np.asarray(k) - np.asarray(w)
+                                    for k, w in zip(ks, final_kernels)]))
+    mat = np.stack(mat)                      # (n_ckpts, n_params)
+    mat = mat - mat.mean(axis=0, keepdims=True)
+    _, svals, vt = np.linalg.svd(mat, full_matrices=False)
+    var = svals ** 2
+    evr = var / var.sum()
+    pc1, pc2 = vt[0], vt[1]
+
+    def unflatten(vec):
+        out, off = [], 0
+        for w in final_kernels:
+            n = int(np.prod(np.asarray(w).shape))
+            out.append(vec[off:off + n].reshape(np.asarray(w).shape)
+                       .astype(np.float32))
+            off += n
+        return out
+
+    return unflatten(pc1), unflatten(pc2), evr[:2]
+
+
+def project_trajectory(ckpt_files, final_kernels, d1, d2, arch,
+                       params_template, spec_paths):
+    """Cosine projection of each snapshot's (w_i - w_final) onto the two
+    directions (projection.py project_1D/project_2D 'cos')."""
+    from neuroquant_tpu.quantization.qmodel import _get
+    from neuroquant_tpu.utils.torch_compat import load_pth
+
+    fx = flatten_dirlist(d1)
+    fy = flatten_dirlist(d2)
+    xs, ys = [], []
+    for f in ckpt_files:
+        p = load_pth(f, arch, params_template)
+        ks = [_get(p, path)["kernel"] for path in spec_paths]
+        d = flatten_dirlist([np.asarray(k) - np.asarray(w)
+                             for k, w in zip(ks, final_kernels)])
+        xs.append(float(np.dot(d, fx) / (np.linalg.norm(fx) + 1e-12)))
+        ys.append(float(np.dot(d, fy) / (np.linalg.norm(fy) + 1e-12)))
+    return np.asarray(xs), np.asarray(ys)
+
+
 def main(argv):
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str, required=True)
     parser.add_argument("--arch", type=str, required=True)
     parser.add_argument("--ckpt", type=str, required=True)
     parser.add_argument("--data_path", type=str, required=True)
+    parser.add_argument("--mode", default="surface", type=str,
+                        choices=["surface", "line", "trajectory"],
+                        help="2-D surface (plot_surface), 1-D loss/PSNR line "
+                             "(plot_1D), or PCA trajectory over snapshots "
+                             "(projection.py)")
+    parser.add_argument("--ckpt_glob", default="", type=str,
+                        help="trajectory mode: glob of snapshot .pth files "
+                             "in training order (regress --snapshot_freq)")
     parser.add_argument("--x", default="-1:1:11", type=str)
     parser.add_argument("--y", default="-1:1:11", type=str)
     parser.add_argument("--lid", default=-1, type=int,
@@ -172,13 +287,69 @@ def main(argv):
     y0, y1, yn = parse_range(args.y)
     xs, ys = np.linspace(x0, x1, xn), np.linspace(y0, y1, yn)
     batch_idx = jnp.arange(min(args.batch, len(dataset)))
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    import h5py
+
+    if args.mode == "line":
+        losses, psnr = compute_line(
+            model, params, spec_paths, dataset.frames, dataset.norm_idx,
+            args.arch, xs, batch_idx, chunk=args.chunk, lid=args.lid,
+            b_w=args.b_w)
+        with h5py.File(args.out + "_1d.h5", "w") as f:
+            f["xcoordinates"] = xs
+            f["train_loss"] = losses
+            f["train_psnr"] = psnr     # the accuracy axis of plot_1D.py
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, ax1 = plt.subplots(figsize=(6, 4))
+        ax2 = ax1.twinx()
+        ax1.semilogy(xs, losses, "b-", label="Training loss")
+        ax2.plot(xs, psnr, "r-", label="PSNR (dB)")
+        ax1.set_xlabel("alpha")
+        ax1.set_ylabel("Loss", color="b")
+        ax2.set_ylabel("PSNR (dB)", color="r")
+        ax1.set_title(f"1-D loss line ({args.arch}, lid={args.lid}, b_w={args.b_w})")
+        fig.savefig(args.out + "_1d.png", dpi=130, bbox_inches="tight")
+        logging.info("wrote %s_1d.{h5,png}", args.out)
+        return losses
+
+    dirs = None
+    traj = None
+    if args.mode == "trajectory":
+        import glob as globmod
+
+        from neuroquant_tpu.quantization.qmodel import _get
+        files = sorted(globmod.glob(args.ckpt_glob))
+        assert len(files) >= 3, \
+            f"trajectory mode needs >=3 snapshots, got {len(files)} from {args.ckpt_glob!r}"
+        final_kernels = [_get(params, p)["kernel"] for p in spec_paths]
+        d1, d2, evr = pca_directions(files, final_kernels, args.arch, params,
+                                     spec_paths)
+        logging.info("PCA explained variance: %.1f%% / %.1f%%",
+                     100 * evr[0], 100 * evr[1])
+        px, py = project_trajectory(files, final_kernels, d1, d2, args.arch,
+                                    params, spec_paths)
+        with h5py.File(args.out + "_dirs.h5", "w") as f:
+            for i, d in enumerate(d1):
+                f[f"xdirection/{i}"] = d
+            for i, d in enumerate(d2):
+                f[f"ydirection/{i}"] = d
+            f["explained_variance_ratio_"] = evr
+        with h5py.File(args.out + "_proj_cos.h5", "w") as f:
+            f["proj_xcoord"] = px
+            f["proj_ycoord"] = py
+        # widen the grid to cover the trajectory (net_plotter convention)
+        xs = np.linspace(min(x0, px.min() * 1.1), max(x1, px.max() * 1.1), xn)
+        ys = np.linspace(min(y0, py.min() * 1.1), max(y1, py.max() * 1.1), yn)
+        dirs = ([jnp.asarray(d) for d in d1], [jnp.asarray(d) for d in d2])
+        traj = (px, py)
 
     surface = compute_surface(model, params, spec_paths, dataset.frames,
                               dataset.norm_idx, args.arch, xs, ys, batch_idx,
-                              chunk=args.chunk, lid=args.lid, b_w=args.b_w)
+                              chunk=args.chunk, lid=args.lid, b_w=args.b_w,
+                              dirs=dirs)
 
-    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    import h5py
     h5_path = args.out + ".h5"
     with h5py.File(h5_path, "w") as f:           # same keys as the tool
         f["xcoordinates"] = xs
@@ -193,6 +364,10 @@ def main(argv):
         fig, ax = plt.subplots(figsize=(6, 5))
         cs = ax.contour(xs, ys, surface.T, levels=15)
         ax.clabel(cs, inline=True, fontsize=7)
+        if traj is not None:
+            ax.plot(traj[0], traj[1], marker=".", color="r", linewidth=1,
+                    label="optimization path")
+            ax.legend(fontsize=8)
         ax.set_title(f"loss surface ({args.arch}, lid={args.lid}, b_w={args.b_w})")
         fig.savefig(args.out + ".png", dpi=130)
         logging.info("wrote %s.png", args.out)

@@ -83,6 +83,11 @@ def parse_args(argv):
                         help="data-parallel training over an N-device jax "
                              "mesh (frame batch sharded, gradient psum over "
                              "ICI); 0/1 = single device")
+    parser.add_argument("--snapshot_freq", default=0, type=int,
+                        help="also save epoch{N}.pth every N epochs (0 = "
+                             "final only) — snapshots feed the loss-landscape "
+                             "PCA trajectory (analysis.loss_landscape "
+                             "--mode trajectory)")
     return parser.parse_args(argv)
 
 
@@ -283,7 +288,8 @@ def train(args, cfg):
                 or epoch == cfg["epoch"] - 1:
             save_pth(os.path.join(args.outf, "model_latest.pth"),
                      args.arch, params)
-        if (epoch + 1) % cfg["epoch"] == 0:
+        snap = getattr(args, "snapshot_freq", 0)
+        if (epoch + 1) % cfg["epoch"] == 0 or (snap and (epoch + 1) % snap == 0):
             save_pth(os.path.join(args.outf, f"epoch{epoch + 1}.pth"),
                      args.arch, params)
 

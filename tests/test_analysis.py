@@ -24,7 +24,8 @@ def tiny_ckpt(tmp_path_factory, frame_dir, tiny_hnerv_cfg):
     os.chdir(d)
     try:
         regress.main(["--config", cfg_path, "--arch", "hnerv",
-                      "--data_path", frame_dir, "--vid", "t", "--outf", "a"])
+                      "--data_path", frame_dir, "--vid", "t", "--outf", "a",
+                      "--snapshot_freq", "1"])
     finally:
         os.chdir(cwd)
     ckpt = glob.glob(str(d / "results/**/epoch4.pth"), recursive=True)[0]
@@ -85,6 +86,59 @@ class TestLossLandscape:
             "--batch", "2", "--lid", "1", "--b_w", "2",
             "--out", str(d / "plots/s2")])
         assert s_q2[0, 0] != s_fp[0, 0]  # quantizing layer 1 perturbs the loss
+
+
+class TestLossLine1D:
+    def test_line_h5_and_plot(self, tiny_ckpt, frame_dir):
+        """plot_1D.py analogue: 1-D loss (log axis) + PSNR curve."""
+        import h5py
+        from neuroquant_tpu.analysis import loss_landscape
+
+        ckpt, cfg_path, d = tiny_ckpt
+        out = str(d / "plots/line")
+        losses = loss_landscape.main([
+            "--config", cfg_path, "--arch", "hnerv", "--ckpt", ckpt,
+            "--data_path", frame_dir, "--mode", "line", "--x=-0.5:0.5:5",
+            "--batch", "2", "--chunk", "5", "--out", out])
+        assert losses.shape == (5,)
+        assert np.isfinite(losses).all()
+        # the (briefly) trained model at alpha=0 sits near the bottom of the
+        # line — the 4-epoch fixture is too undertrained for a strict minimum
+        assert losses[2] <= min(losses[0], losses[4]) + 5e-3
+        assert losses.max() > losses.min()     # direction actually perturbs
+        with h5py.File(out + "_1d.h5") as f:
+            assert "train_loss" in f and "train_psnr" in f
+        assert os.path.exists(out + "_1d.png")
+
+
+class TestTrajectoryProjection:
+    def test_pca_trajectory(self, tiny_ckpt, frame_dir):
+        """projection.py analogue: PCA directions over snapshots, cosine
+        projection, contour + path plot."""
+        import h5py
+        from neuroquant_tpu.analysis import loss_landscape
+
+        ckpt, cfg_path, d = tiny_ckpt
+        snap_glob = os.path.join(os.path.dirname(ckpt), "epoch*.pth")
+        assert len(glob.glob(snap_glob)) >= 4   # --snapshot_freq 1
+        out = str(d / "plots/traj")
+        surface = loss_landscape.main([
+            "--config", cfg_path, "--arch", "hnerv", "--ckpt", ckpt,
+            "--data_path", frame_dir, "--mode", "trajectory",
+            "--ckpt_glob", snap_glob, "--x=-0.2:0.2:3", "--y=-0.2:0.2:3",
+            "--batch", "2", "--chunk", "3", "--out", out])
+        assert surface.shape == (3, 3) and np.isfinite(surface).all()
+        with h5py.File(out + "_proj_cos.h5") as f:
+            px, py = f["proj_xcoord"][:], f["proj_ycoord"][:]
+        assert len(px) == len(glob.glob(snap_glob))
+        # the final snapshot IS the center model: projects to ~origin
+        assert abs(px[-1]) < 1e-3 and abs(py[-1]) < 1e-3
+        # earlier snapshots are farther from the final model along PC1
+        assert abs(px[0]) > abs(px[-1])
+        with h5py.File(out + "_dirs.h5") as f:
+            evr = f["explained_variance_ratio_"][:]
+        assert evr[0] >= evr[1] > 0
+        assert os.path.exists(out + ".png")
 
 
 class TestHessianEigen:
