@@ -241,6 +241,58 @@ def project_trajectory(ckpt_files, final_kernels, d1, d2, arch,
     return np.asarray(xs), np.asarray(ys)
 
 
+def export_vtp(xs, ys, surface, out_path, log: bool = False,
+               zmax: float = -1.0):
+    """Write the surface as a ParaView-readable vtkPolyData .vtp (XML): grid
+    points at (x, y, z=loss) with a 'zvalue' point-data array and quad cells
+    — the reference fork's h52vtp.py output, rebuilt as a direct XML emit."""
+    z = np.asarray(surface, np.float64).copy()
+    if zmax > 0:
+        z = np.minimum(z, zmax)
+    if log:
+        z = np.log(z + 0.1)
+    nx, ny = len(xs), len(ys)
+    xx, yy = np.meshgrid(np.asarray(xs), np.asarray(ys), indexing="ij")
+    pts = np.stack([xx.reshape(-1), yy.reshape(-1), z.reshape(-1)], -1)
+    n_pts = nx * ny
+
+    # quad connectivity over the grid
+    quads = []
+    for i in range(nx - 1):
+        for j in range(ny - 1):
+            a = i * ny + j
+            quads.append((a, a + 1, a + ny + 1, a + ny))
+    quads = np.asarray(quads, np.int64)
+
+    def arr(tag, name, data, ncomp, dtype="Float32"):
+        flat = np.asarray(data).reshape(-1)
+        body = "\n".join(" ".join(str(v) for v in flat[k:k + 9])
+                         for k in range(0, len(flat), 9))
+        return (f'<DataArray type="{dtype}" Name="{name}" '
+                f'NumberOfComponents="{ncomp}" format="ascii" '
+                f'RangeMin="{flat.min()}" RangeMax="{flat.max()}">\n'
+                f"{body}\n</DataArray>\n")
+
+    with open(out_path, "w") as f:
+        f.write('<VTKFile type="PolyData" version="1.0" '
+                'byte_order="LittleEndian" header_type="UInt64">\n'
+                "<PolyData>\n"
+                f'<Piece NumberOfPoints="{n_pts}" NumberOfVerts="0" '
+                'NumberOfLines="0" NumberOfStrips="0" '
+                f'NumberOfPolys="{len(quads)}">\n')
+        f.write('<PointData Scalars="zvalue">\n')
+        f.write(arr("PointData", "zvalue", pts[:, 2], 1))
+        f.write("</PointData>\n<Points>\n")
+        f.write(arr("Points", "Points", pts, 3))
+        f.write("</Points>\n<Polys>\n")
+        f.write(arr("Polys", "connectivity", quads, 1, "Int64"))
+        offsets = np.arange(1, len(quads) + 1, dtype=np.int64) * 4
+        f.write(arr("Polys", "offsets", offsets, 1, "Int64"))
+        f.write("</Polys>\n</Piece>\n</PolyData>\n</VTKFile>\n")
+    logging.info("wrote %s (%d points, %d quads)", out_path, n_pts, len(quads))
+    return out_path
+
+
 def main(argv):
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str, required=True)
@@ -265,6 +317,11 @@ def main(argv):
     parser.add_argument("--chunk", default=8, type=int,
                         help="grid points per vmapped device program")
     parser.add_argument("--out", default="plots/surface", type=str)
+    parser.add_argument("--export_vtp", action="store_true", default=False,
+                        help="also write a ParaView .vtp of the surface "
+                             "(the fork's h52vtp.py)")
+    parser.add_argument("--vtp_log", action="store_true", default=False)
+    parser.add_argument("--vtp_zmax", default=-1.0, type=float)
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -356,6 +413,9 @@ def main(argv):
         f["ycoordinates"] = ys
         f["train_loss"] = surface
     logging.info("wrote %s", h5_path)
+    if args.export_vtp:
+        export_vtp(xs, ys, surface, args.out + ".vtp", log=args.vtp_log,
+                   zmax=args.vtp_zmax)
 
     if len(xs) >= 2 and len(ys) >= 2:
         import matplotlib

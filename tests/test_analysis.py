@@ -141,6 +141,28 @@ class TestTrajectoryProjection:
         assert os.path.exists(out + ".png")
 
 
+class TestVtpExport:
+    def test_vtp_is_valid_polydata(self, tmp_path):
+        """h52vtp.py analogue: grid surface -> ParaView vtkPolyData XML."""
+        import xml.etree.ElementTree as ET
+
+        from neuroquant_tpu.analysis.loss_landscape import export_vtp
+
+        xs = np.linspace(-1, 1, 4)
+        ys = np.linspace(-1, 1, 3)
+        surf = np.random.RandomState(0).rand(4, 3)
+        out = export_vtp(xs, ys, surf, str(tmp_path / "s.vtp"), log=True)
+        root = ET.parse(out).getroot()
+        assert root.tag == "VTKFile" and root.get("type") == "PolyData"
+        piece = root.find("PolyData/Piece")
+        assert int(piece.get("NumberOfPoints")) == 12
+        assert int(piece.get("NumberOfPolys")) == 3 * 2
+        pts = piece.find("Points/DataArray").text.split()
+        assert len(pts) == 12 * 3
+        conn = piece.find("Polys/DataArray[@Name='connectivity']").text.split()
+        assert len(conn) == 6 * 4 and max(int(c) for c in conn) == 11
+
+
 class TestHessianEigen:
     def test_eigenvalues(self, tiny_ckpt, frame_dir):
         from neuroquant_tpu.analysis import hessian_eigen
