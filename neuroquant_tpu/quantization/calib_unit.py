@@ -223,10 +223,16 @@ def unit_reconstruction(model, params, spec: QuantSpec, state: Dict,
                         warmup: float = 0.0, p: float = 2.0,
                         lr: float = 0.0015, seed: int = 903,
                         opt_mode: str = "mse", input_prob: float = 1.0,
-                        log_fn=logging.info):
+                        log_fn=logging.info, io=None):
     """AdaRound one unit against its cached FP output. Returns updated state
     for that unit (others untouched). include_act=True == block
-    reconstruction; False == layer reconstruction."""
+    reconstruction; False == layer reconstruction.
+
+    `io`: optional precomputed harvest_unit_io(...) result — pass it when
+    reconstructing several units of the same model so the FP forward sweep
+    runs once instead of once per unit (the reference re-caches per call
+    too, data_utils.py:122-205; here the loop-over-units cost is explicit).
+    """
     name = spec.layer_names[unit_idx]
     path = spec.layer_paths[unit_idx]
     bits = spec.n_bits[unit_idx]
@@ -237,9 +243,10 @@ def unit_reconstruction(model, params, spec: QuantSpec, state: Dict,
     if not include_act:
         stride, act = 1, None
 
-    t0 = time.time()
-    io = harvest_unit_io(model, params, "", spec, cali_data)
-    log_fn("Cached init time: {}".format(time.time() - t0))
+    if io is None:
+        t0 = time.time()
+        io = harvest_unit_io(model, params, "", spec, cali_data)
+        log_fn("Cached init time: {}".format(time.time() - t0))
     x_fp, y_fp = io[unit_idx]
     if not include_act:
         # layer mode reconstructs the raw conv output: recompute cheaply

@@ -357,3 +357,38 @@ class TestPallasCustomVJP:
                         jax.tree_util.tree_leaves(gj)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-5)
+
+
+class TestSharedHarvest:
+    def test_precomputed_io_reused_across_units(self, tiny_hnerv_cfg):
+        """Passing io= skips the per-unit FP re-harvest and gives identical
+        reconstruction results."""
+        from neuroquant_tpu.models import build_model, example_input
+        from neuroquant_tpu.quantization import init_quant_state, make_spec
+        from neuroquant_tpu.quantization.calib_unit import (
+            block_reconstruction, harvest_unit_io,
+        )
+
+        model = build_model("hnerv", tiny_hnerv_cfg)
+        x = example_input("hnerv", tiny_hnerv_cfg, 4)
+        params = model.init(jax.random.PRNGKey(0), x)
+        emb = model.apply(params, x, method="encode")
+        spec = make_spec("hnerv", tiny_hnerv_cfg, channel_wise=True,
+                         scale_method="max").with_bits([3] * 5)
+        state = init_quant_state(params, spec)
+        io = harvest_unit_io(model, params, "", spec, emb)
+
+        kw = dict(iters=40, batch_size=2, lr=0.01, log_fn=lambda m: None)
+        s_shared = state
+        for u in (1, 2):
+            s_shared = block_reconstruction(model, params, spec, s_shared, u,
+                                            emb, io=io, **kw)
+        s_fresh = state
+        for u in (1, 2):
+            s_fresh = block_reconstruction(model, params, spec, s_fresh, u,
+                                           emb, **kw)
+        for name in spec.layer_names:
+            for k in s_shared[name]:
+                np.testing.assert_allclose(
+                    np.asarray(s_shared[name][k]),
+                    np.asarray(s_fresh[name][k]), rtol=1e-5, atol=1e-6)
