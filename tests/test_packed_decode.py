@@ -23,7 +23,8 @@ def _conv(x, w, b, pad):
 
 
 class TestPackedConv:
-    @pytest.mark.parametrize("k,r", [(5, 2), (3, 2), (3, 4), (1, 2), (5, 4), (7, 2)])
+    @pytest.mark.parametrize("k,r", [(5, 2), (3, 2), (3, 4), (1, 2), (5, 4),
+                                     (7, 2), (5, 3), (3, 6), (3, 3)])
     def test_matches_unpacked(self, k, r):
         rng = np.random.RandomState(k * 10 + r)
         x = jnp.asarray(rng.randn(2, 4 * r, 6 * r, 7), jnp.float32)
