@@ -41,7 +41,7 @@ python -m neuroquant_tpu.methods.calibrate_network \
   --batch_size 2 --iters_w 21000 --lr 0.003 --warmup 0.2 2>&1 | tail -3
 ART=$(find results/best_r2 -name "hnerv_W*.pth" | head -1)
 python -m neuroquant_tpu.methods.compress \
-  --artifact "$ART" 2>&1 | tail -5
+  --artifact "$ART" --data_path /root/reference/bunny 2>&1 | tail -5
 
 echo "=== 3. UVG smoke $(date) ==="
 python scripts/uvg_smoke.py 10 480 2>&1 | grep "uvg_smoke\|Error" | tail -8

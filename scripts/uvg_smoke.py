@@ -42,13 +42,15 @@ def last_psnr(outdir):
         or [float(v) for v in re.findall(r"pred_seen_psnr: ([\d.]+)", text)]
 
 
-def main(epochs=10, calib_iters=480):
+def main(epochs=10, calib_iters=480, only=None):
     from neuroquant_tpu.methods import calibrate_network, regress
 
     make_clip()
     os.chdir(os.path.join(os.path.dirname(__file__), ".."))
     for arch, cfgp in (("hnerv", "configs/HNeRV/UVG_1920x960_3M.yaml"),
                        ("nerv", "configs/NeRV/UVG_1920x960_3M.yaml")):
+        if only and arch != only:
+            continue
         import yaml
         cfg = yaml.safe_load(open(cfgp))
         cfg["epoch"], cfg["eval_freq"] = int(epochs), max(int(epochs) // 2, 1)
@@ -69,9 +71,17 @@ def main(epochs=10, calib_iters=480):
             "--channel_wise", "--hadamard", "--batch_size", "2",
             "--iters_w", str(calib_iters), "--lr", "0.003",
             "--warmup", "0.2", "--calib_ckpt_freq", "0"])
-        psnrs = last_psnr(f"results/{outf}/network-wise_calib")
+        calib_logs = glob.glob(
+            f"results/{outf}/**/network-wise_calib/**/*.log", recursive=True)
+        text = open(sorted(calib_logs)[-1]).read()
+        psnrs = [float(v) for v in
+                 re.findall(r"best_pred_seen_psnr: ([\d.]+)", text)]
         print(f"[uvg_smoke] {arch} calib evals (fp32/off/unopt/opt): {psnrs[:4]}")
 
 
 if __name__ == "__main__":
-    main(*(int(a) for a in sys.argv[1:3]))
+    args = sys.argv[1:]
+    only = None
+    if args and args[-1] in ("hnerv", "nerv"):
+        only = args.pop()
+    main(*(int(a) for a in args[:2]), only=only)
