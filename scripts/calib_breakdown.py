@@ -1,0 +1,108 @@
+"""Where does the calibration step spend its time? Times the jitted pieces
+separately at the bench shape (HNeRV-3M, batch 2, Hadamard, CW, adaround).
+
+Each piece runs as a lax.scan of REPS iterations inside one device program.
+Every scan body consumes the iteration index (frame indices rotate; the
+quant state gets an i*1e-30 alpha nudge) — without this XLA hoists the
+loop-invariant body out of the scan and the timing collapses to ~0 (the
+first version of this script measured exactly that)."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from neuroquant_tpu.config import get_config
+from neuroquant_tpu.metrics import lp_loss
+from neuroquant_tpu.models import build_model
+from neuroquant_tpu.quantization import init_quant_state, make_spec
+from neuroquant_tpu.quantization.qmodel import (
+    adaround_upgrade, quantize_params, round_loss,
+)
+
+REPS = 50
+BATCH = 2
+NFRAMES = 16
+
+
+def main():
+    cfg = get_config("configs/HNeRV/Bunny_1280x640_3M.yaml")
+    model = build_model("hnerv", cfg)
+    frames = jnp.asarray(np.random.RandomState(0).rand(NFRAMES, 640, 1280, 3),
+                         jnp.float32)
+    params = model.init(jax.random.PRNGKey(903), frames[:1])
+    cali = jax.jit(lambda p, x: model.apply(p, x, method="encode"))(
+        params, frames)
+    spec = make_spec("hnerv", cfg, channel_wise=True, scale_method="max",
+                     hadamard=True).with_bits([6, 5, 4, 5, 5, 6, 6])
+    state = adaround_upgrade(params, spec, init_quant_state(params, spec))
+
+    def nudge(st, i):
+        # per-iteration perturbation so the body is not loop-invariant
+        fi = i.astype(jnp.float32)
+        return {ln: {k: (v + fi * 1e-30 if k == "w_alpha" else v)
+                     for k, v in s.items()} for ln, s in st.items()}
+
+    def bench(name, body):
+        @jax.jit
+        def run(state, params, frames, cali):
+            def step(acc, i):
+                idx = (i + jnp.arange(BATCH)) % NFRAMES
+                return acc + body(nudge(state, i), params, frames, cali, idx), None
+            acc, _ = jax.lax.scan(step, 0.0, jnp.arange(REPS))
+            return acc
+        jax.block_until_ready(run(state, params, frames, cali))
+        t0 = time.time()
+        jax.block_until_ready(run(state, params, frames, cali))
+        print(f"{name:34s} {(time.time()-t0)/REPS*1000:7.2f} ms/iter")
+
+    bench("quantize_params(adaround)", lambda st, p, f, c, idx: sum(
+        jnp.sum(x) for x in jax.tree_util.tree_leaves(
+            quantize_params(p, spec, st, mode="adaround"))))
+
+    qp = quantize_params(params, spec, state, mode="adaround")
+    bench("decode fwd (pre-quantized)",
+          lambda st, p, f, c, idx: model.apply(
+              qp, c[idx], method="decode").mean() + st["head_layer"]["w_alpha"].sum() * 0)
+
+    def full_loss(st, p, f, c, idx):
+        q = quantize_params(p, spec, st, mode="adaround")
+        pred = model.apply(q, c[idx], method="decode")
+        return lp_loss(pred, f[idx], p=2.0) + round_loss(st, spec, 10.0, 0.01)
+
+    bench("loss fwd (quant + decode)", full_loss)
+    bench("value_and_grad", lambda st, p, f, c, idx:
+          jax.value_and_grad(full_loss)(st, p, f, c, idx)[0])
+
+    opt = optax.adam(0.003, eps=1e-8)
+
+    @jax.jit
+    def train(state, params, frames, cali):
+        opt_state = opt.init(state)
+        def step(carry, i):
+            st, os_ = carry
+            idx = (i + jnp.arange(BATCH)) % NFRAMES
+            loss, g = jax.value_and_grad(full_loss)(st, params, frames, cali,
+                                                    idx)
+            up, os_ = opt.update(g, os_, st)
+            return (optax.apply_updates(st, up), os_), loss
+        (st, _), losses = jax.lax.scan(step, (state, opt_state),
+                                       jnp.arange(REPS))
+        return losses[-1]
+    jax.block_until_ready(train(state, params, frames, cali))
+    t0 = time.time()
+    jax.block_until_ready(train(state, params, frames, cali))
+    print(f"{'full step (grad + Adam)':34s} {(time.time()-t0)/REPS*1000:7.2f} ms/iter")
+
+
+if __name__ == "__main__":
+    main()
