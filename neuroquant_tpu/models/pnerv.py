@@ -75,6 +75,17 @@ class _PNeRVEncoder(nn.Module):
 
 
 class PNeRV1(nn.Module):
+    """PNeRV with KFc pyramid shortcuts + BSM gated fusion
+    (models/PNeRV.py:11-105).
+
+    Note: the space-to-depth packed tail (ops/packed_decode.py) is NOT
+    applied here — the BSM gates fuse each block's output with KFc shortcut
+    tensors at every resolution, so the tail cannot stay in a packed layout
+    without also packing the KFc upsamplers (whose Kronecker structure
+    doesn't commute with space-to-depth). PNeRV decodes via the standard
+    fused conv+shuffle path; the reference publishes no PNeRV perf baseline.
+    """
+
     cfg: PNeRVConfig
 
     def setup(self):
