@@ -126,3 +126,40 @@ class TestDecodeFPS:
         emb = model.apply(params, ds.frames, method="encode")
         fps = measure_decode_fps(model, params, emb, batch_size=1, n_iters=8)
         assert fps > 0
+
+
+class TestFusedEvalParity:
+    def test_device_eval_matches_host_loop(self, tmp_path, frame_dir,
+                                           tiny_hnerv_cfg):
+        """evaluate()'s single-program device path must produce the same
+        metrics and embeddings as the per-batch host loop (the --dump_vis
+        path), which is the reference-shaped implementation."""
+        import types
+
+        import jax
+        import jax.numpy as jnp
+
+        from neuroquant_tpu.data import VideoDataSet
+        from neuroquant_tpu.methods import common
+        from neuroquant_tpu.models import build_model
+
+        cfg = dict(tiny_hnerv_cfg, batch_size=2)
+        ds = VideoDataSet(cfg, frame_dir)
+        model = build_model("hnerv", cfg)
+        params = model.init(jax.random.PRNGKey(0), ds.frames[:1])
+
+        def run(dump_vis):
+            args = types.SimpleNamespace(
+                arch="hnerv", val_ind_list=[2, 5], print_freq=2, fps=0.0,
+                outf=str(tmp_path))
+            return common.evaluate(model, params, ds, args, cfg,
+                                   dump_vis=dump_vis)
+
+        res_dev, hw_dev, emb_dev = run(False)
+        res_host, hw_host, emb_host = run(True)
+        assert hw_dev == hw_host
+        for a, b in zip(res_dev, res_host):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(emb_dev), np.asarray(emb_host),
+                                   rtol=1e-5, atol=1e-6)
