@@ -163,3 +163,31 @@ class TestPlan:
         t = plan_packed_tail([1, 3, 3], [5, 4, 4], [24, 20, 17], [20, 17, 14],
                              80, 160)
         assert t == 2
+
+
+class TestPackGating:
+    def test_norm_disables_packing(self, tiny_hnerv_cfg):
+        """dec_norm != 'none' needs spatial statistics per real resolution —
+        the packed tail must auto-disable and decode must still work."""
+        from neuroquant_tpu.models import build_model
+
+        cfg = dict(tiny_hnerv_cfg, dec_norm="instance", packed_tail="auto")
+        m = build_model("hnerv", cfg)
+        x = jnp.asarray(np.random.RandomState(0).rand(2, 80, 160, 3),
+                        jnp.float32)
+        params = m.init(jax.random.PRNGKey(0), x)
+        bound = m.bind(params)
+        assert bound.pack_start is None
+        out = m.apply(params, x)
+        assert out.shape == (2, 80, 160, 3)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_explicit_off(self, tiny_hnerv_cfg):
+        from neuroquant_tpu.models import build_model
+
+        cfg = dict(tiny_hnerv_cfg, packed_tail="off")
+        m = build_model("hnerv", cfg)
+        x = jnp.asarray(np.random.RandomState(1).rand(1, 80, 160, 3),
+                        jnp.float32)
+        params = m.init(jax.random.PRNGKey(0), x)
+        assert m.bind(params).pack_start is None
