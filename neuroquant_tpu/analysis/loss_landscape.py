@@ -109,16 +109,15 @@ def compute_surface(model, params, spec_paths, frames, norm_idx, arch,
     # kernels lowers to a grouped conv whose groups must divide C_out.)
     if len(jax.devices()) > 1:
         from jax.sharding import PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
 
         from neuroquant_tpu.parallel import make_mesh
         mesh = make_mesh()
         n_dev = len(jax.devices())
         chunk = max(chunk, n_dev)
         chunk -= chunk % n_dev
-        eval_chunk = jax.jit(shard_map(
+        eval_chunk = jax.jit(jax.shard_map(
             jax.vmap(loss_at), mesh=mesh, in_specs=(P("data"), P("data")),
-            out_specs=P("data"), check_rep=False))
+            out_specs=P("data"), check_vma=False))
     else:
         eval_chunk = jax.jit(jax.vmap(loss_at))
 

@@ -150,12 +150,16 @@ def _evaluate_device(model, params, dataset, args, cfg, eval_fps=False):
         embs = embs.reshape((n_batches * bs,) + embs.shape[2:])
         return ps.reshape(-1)[:n], ss.reshape(-1)[:n], embs[:n]
 
-    t0 = time.time()
     ps, ss, all_embeds = run(params, frames, norm_idx, batches)
     jax.block_until_ready(all_embeds)
-    dt = time.time() - t0
     ps, ss = np.asarray(ps), np.asarray(ss)
-    fps = n / max(dt, 1e-9)
+    # decode-only FPS (warmed, excludes compile/encode/metrics) so the
+    # reference-format eval lines carry the same semantics as the reference's
+    # cuda.synchronize decode timing (models/HNeRV.py:67-68) — the fused-eval
+    # wall time would fold one-time XLA compilation and metric compute into
+    # the number (round-2 advisor finding)
+    fps = measure_decode_fps(model, params, all_embeds, bs,
+                             n_iters=min(100, 2 * n))
 
     metric_list = [[] for _ in METRIC_NAMES]
     for frame_id in range(n):
@@ -177,10 +181,8 @@ def _evaluate_device(model, params, dataset, args, cfg, eval_fps=False):
     results = [np.mean(v) if len(v) else np.zeros(1) for v in metric_list]
     args.fps = fps
     if eval_fps:
-        fps_dev = measure_decode_fps(model, params, all_embeds, bs)
-        args.fps = fps_dev
         logging.info("[eval_fps] device decode throughput: {} FPS (batch {})".format(
-            round(fps_dev, 1), bs))
+            round(fps, 1), bs))
     h, w = cfg["crop_h"], cfg["crop_w"]
     return results, (h, w), all_embeds
 

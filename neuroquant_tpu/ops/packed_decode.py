@@ -125,7 +125,13 @@ def resolve_pack_start(packed_tail, kernels, strides, dec_norm: str,
         return plan_packed_tail(kernels, strides, in_channels, out_channels,
                                 crop_h, crop_w)
     t = int(packed_tail)
-    return t if 0 <= t < len(kernels) else None
+    if not 0 <= t < len(kernels):
+        # a config typo here would silently disable packing — a ~5x decode
+        # perf regression with no functional signal — so fail loudly
+        raise ValueError(
+            f"packed_tail={t} out of range for a {len(kernels)}-block decoder "
+            f"(use 0..{len(kernels) - 1}, 'auto', or 'off')")
+    return t
 
 
 def packed_kernel_geometry(k: int, r: int) -> Tuple[int, int]:
@@ -225,7 +231,7 @@ def pack_conv_kernel(w_hwio, r: int, in_perm: np.ndarray | None = None,
     kp = m.shape[0]
     wp = jnp.pad(w_hwio, ((0, 1), (0, 1), (0, 0), (0, 0)))  # zero sentinel
     idx_y = jnp.asarray(m)                    # (kp, a, i)
-    idx_x = jnp.asarray(np.minimum(m, k))     # same map for x axis
+    idx_x = idx_y                             # x-axis map identical by symmetry
     # K[(py, a, i), (px, b, j), ci, co] = wp[dy, dx, ci, co]
     kk = wp[idx_y]                            # (kp, a, i, k+1, cin, cout)
     kk = jnp.take(kk, idx_x, axis=3)          # (kp, a, i, kp, b, j, cin, cout)
