@@ -18,6 +18,7 @@ __all__ = [
     "NeRV", "HNeRV", "PNeRV", "PNeRV1", "PNeRV2",
     "NeRVConfig", "HNeRVConfig", "PNeRVConfig",
     "build_model", "quant_layer_paths", "param_counts", "example_input",
+    "tail_plan_for",
 ]
 
 
@@ -91,6 +92,47 @@ def param_counts(arch: str, cfg: dict, params, final_size: int,
                  * final_size * full_data_length)
         total = dec + embed / 1e6
     return enc, dec, total
+
+
+def tail_plan_for(arch: str, cfg: dict):
+    """Static fused-tail geometry for (arch, cfg), or None when the fused
+    channels-first tail does not apply (no packed tail / non-GELU / PNeRV).
+
+    Returns (plan, f_final, ch_packed) — what a caller needs to pack
+    ground-truth frames into the decode_cf output domain
+    (ops/tail_fused.pack_targets) without touching model params: the plan
+    depends only on shapes, so zero weights suffice."""
+    from neuroquant_tpu.ops.packed_decode import resolve_pack_start
+    from neuroquant_tpu.ops.tail_fused import plan_and_pack
+
+    arch = arch.lower()
+    if arch == "nerv":
+        c = NeRVConfig.from_cfg(cfg)
+    elif arch == "hnerv":
+        c = HNeRVConfig.from_cfg(cfg)
+    else:
+        return None
+    if c.dec_acts != "gelu":
+        return None
+    chans = c.decoder_channels()
+    t = resolve_pack_start(c.packed_tail, c.dec_kernels, c.dec_strides,
+                           c.dec_norm, [c.dec_in_channel] + chans[:-1], chans,
+                           c.crop_h, c.crop_w)
+    if t is None:
+        return None
+    s = int(np.prod([int(x) for x in c.dec_strides[t:]]))
+    h, w = c.crop_h // s, c.crop_w // s
+    cins = ([c.dec_in_channel] + chans)[t:]
+    blocks = []
+    for j in range(t, len(chans)):
+        k, r = int(c.dec_kernels[j]), int(c.dec_strides[j])
+        blocks.append((np.zeros((k, k, cins[j - t], chans[j] * r * r),
+                                np.float32),
+                       np.zeros(chans[j] * r * r, np.float32), r))
+    head = (np.zeros((3, 3, chans[-1], 3), np.float32),
+            np.zeros(3, np.float32))
+    plan, _, _, f, ch = plan_and_pack(h, w, blocks, head)
+    return plan, f, ch
 
 
 def example_input(arch: str, cfg: dict, batch: int = 1):

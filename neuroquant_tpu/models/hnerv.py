@@ -31,6 +31,7 @@ class HNeRVConfig:
     dec_acts: str
     out_bias: str
     packed_tail: str = "auto"   # 'auto' | 'off' | explicit block index
+    fused_tail: str = "auto"    # 'auto' | 'pallas' | 'jnp' | 'off'
 
     @classmethod
     def from_cfg(cls, cfg: dict) -> "HNeRVConfig":
@@ -49,6 +50,7 @@ class HNeRVConfig:
             dec_norm=cfg["dec_norm"], dec_acts=cfg["dec_acts"],
             out_bias=str(cfg["out_bias"]),
             packed_tail=str(cfg.get("packed_tail", "auto")),
+            fused_tail=str(cfg.get("fused_tail", "auto")),
         )
 
     @property
@@ -96,13 +98,59 @@ class HNeRV(nn.Module):
         """NHWC frames -> (B, crop_h/prod(s), crop_w/prod(s), enc_channel[-1])."""
         return self.encoder(img)
 
+    def _tail_params(self, x):
+        from neuroquant_tpu.models.layers import collect_tail_params
+
+        return collect_tail_params(self.blocks, self.head_layer,
+                                   self.pack_start,
+                                   self.cfg.decoder_channels(), x)
+
+    def _fused_impl(self):
+        from neuroquant_tpu.ops.tail_fused import resolve_impl
+
+        c = self.cfg
+        if self.pack_start is None or c.dec_acts != "gelu":
+            return None
+        return resolve_impl(c.fused_tail)
+
+    def decode_cf(self, img_embed):
+        """Decode to the packed channels-first head output with `out_bias`
+        applied: (B, ch8, Mp). The calibration loss runs directly in this
+        domain against tail_fused.pack_targets-packed ground truth (the
+        depth-to-space is a permutation, so elementwise-loss sums are
+        invariant), skipping the unpack + NHWC transposes every step."""
+        from neuroquant_tpu.ops.tail_fused import run_fused_tail_cf
+
+        c = self.cfg
+        assert self.pack_start is not None and c.dec_acts == "gelu", \
+            "decode_cf requires a packed GELU tail (use decode instead)"
+        impl = self._fused_impl() or "jnp"
+        x = self.decoder0(img_embed)
+        x = pixel_shuffle(x, (c.fc_h, c.fc_w))
+        for j in range(self.pack_start):
+            x = self.blocks[j](x)
+        blocks, head = self._tail_params(x)
+        z, _, _, _ = run_fused_tail_cf(x, blocks, head, impl=impl)
+        return out_img(z, c.out_bias)
+
     def decode(self, img_embed, return_embeds: bool = False):
         c = self.cfg
         if not return_embeds and self.pack_start is not None:
             # fast path: the high-resolution tail runs space-to-depth packed
-            # at the pack_start block's input resolution (ops/packed_decode.py)
+            # at the pack_start block's input resolution (ops/packed_decode.py);
+            # on TPU the tail executes as channels-first Pallas kernels
+            # (ops/tail_fused.py) instead of XLA convs
             x = self.decoder0(img_embed)
             x = pixel_shuffle(x, (c.fc_h, c.fc_w))
+            impl = self._fused_impl()
+            if impl is not None:
+                from neuroquant_tpu.ops.tail_fused import run_fused_tail
+
+                for j in range(self.pack_start):
+                    x = self.blocks[j](x)
+                blocks, head = self._tail_params(x)
+                y, f = run_fused_tail(x, blocks, head, impl=impl)
+                return depth_to_space(out_img(y, c.out_bias), f)
             f, perm = 1, None
             for j, blk in enumerate(self.blocks):
                 if j < self.pack_start:

@@ -67,11 +67,15 @@ class Conv2d(nn.Module):
     bias_init: Callable | None = None   # default: torch U(+-1/sqrt(fan_in))
 
     @nn.compact
-    def __call__(self, x, pack_in: int = 1, in_perm=None):
+    def __call__(self, x, pack_in: int = 1, in_perm=None,
+                 return_params: bool = False):
         """pack_in > 1 evaluates the SAME conv on a space-to-depth packed
         input (ops/packed_decode.py) and returns the packed output — used by
         the decoder tail so the full-resolution head conv runs with MXU-wide
-        channels. Requires odd kernel, stride 1, 'same' padding."""
+        channels. Requires odd kernel, stride 1, 'same' padding.
+        return_params=True returns (kernel, bias) without computing — the
+        fused Pallas tail (ops/tail_fused.py) collects raw conv params this
+        way; `x` then only supplies the input channel count."""
         if pack_in > 1:
             cin = x.shape[-1] // (pack_in * pack_in)
         else:
@@ -85,6 +89,8 @@ class Conv2d(nn.Module):
             fan_in = (cin // self.feature_group_count) * kh * kw
             bias_init = self.bias_init or torch_bias_init(fan_in)
             bias = self.param("bias", bias_init, (self.features,))
+        if return_params:
+            return kernel, bias
         if pack_in > 1:
             from neuroquant_tpu.ops.packed_decode import packed_conv
 
@@ -230,11 +236,12 @@ class UpsampleConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, pack_in: int = 1, absorb: bool = False,
-                 in_perm=None):
+                 in_perm=None, return_params: bool = False):
         """absorb=True runs the conv on `pack_in`-packed input and absorbs
         the PixelShuffle into the packing (no layout op at all); returns
         (packed output, its group permutation) with the new pack factor
-        pack_in * r (ops/packed_decode.py)."""
+        pack_in * r (ops/packed_decode.py). return_params=True returns the
+        raw (kernel, bias) instead of computing (fused Pallas tail)."""
         from neuroquant_tpu.ops.fused_upsample import (
             conv_pixel_shuffle, conv_pixel_shuffle_perm,
         )
@@ -249,6 +256,8 @@ class UpsampleConv(nn.Module):
         if self.use_bias:
             bias = self.param("bias", torch_bias_init(cin * kh * kw),
                               (features,))
+        if return_params:
+            return kernel, bias
         if absorb:
             from neuroquant_tpu.ops.packed_decode import upsample_conv_packed
 
@@ -307,6 +316,21 @@ class NeRVBlock(nn.Module):
         x = self.conv(x)
         x = self.norm_fn(x)
         return self.act_fn(x)
+
+
+def collect_tail_params(blocks, head_layer, pack_start: int, chans, x):
+    """Gather the raw (kernel, bias) conv params of the decoder tail blocks
+    (from pack_start) + head for the fused Pallas tail (ops/tail_fused.py).
+    Must be called from within a bound module context; the dummy inputs only
+    supply channel counts (flax params are created/shared by name)."""
+    out = []
+    for j in range(pack_start, len(blocks)):
+        blk = blocks[j]
+        cin = x.shape[-1] if j == pack_start else chans[j - 1]
+        k, b = blk.conv(jnp.zeros((1, 1, 1, cin)), return_params=True)
+        out.append((k, b, blk.stride))
+    kh, bh = head_layer(jnp.zeros((1, 1, 1, chans[-1])), return_params=True)
+    return out, (kh, bh)
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,735 @@
+"""Channels-first Pallas execution of the packed decoder tail.
+
+Round-2 left the packed tail (ops/packed_decode.py) at ~27% of its analytic
+floor: XLA convolves NHWC with channels on the 128-wide MXU *lane* axes, so
+every tail conv pays ceil(C/128) lane padding on BOTH channel axes (53->128,
+176->256, 592->640, 48->128). This module re-executes the same math with the
+channel axes on the *streamed* matmul dimension, where the MXU pays per-row,
+not per-128-lane-tile.
+
+Layout: activations live channels-first and spatially flattened,
+(B, C8, Mp) with Mp = (H+2P) * (W+2P) rows-major including a P-wide zero
+border -- a conv tap (ty, tx) is then a STATIC lane shift
+(ty-off)*Wp + (tx-off). Borders are re-zeroed between layers (exactly the
+semantics of 'same' zero padding); channel counts pad to multiples of 8
+(sublanes) once, with zero weights in the pad rows/columns so the padding is
+inert end-to-end.
+
+Per-layer execution mode (chosen by a padded-cost model):
+  patches -- build the (K, TM) im2col matrix from k^2 static lane slices of
+             the VMEM tile, one (Cout, K) @ (K, TM) matmul. Contraction
+             K = taps*Cin pads once to 128 (<6% for the real tails) instead
+             of per-tap; best when Cin is far from a lane multiple (53, 176).
+  kn2row  -- one (taps*Cout, Cin) @ (Cin, span) matmul then taps shifted
+             VPU accumulations of the *output*. Streams taps*Cout rows
+             (amortizes the MXU weight-load latency that starves a
+             3-48-channel head) and needs no patch buffer; best when Cout is
+             tiny and Cin is lane-friendly (the 592 -> 48 packed head).
+  taps    -- taps separate (Cout, Cin) @ (Cin, TM) matmuls; fallback when
+             the other modes' VMEM cost is not worth it.
+Input tiles stream HBM->VMEM through a 2-slot double-buffered manual DMA
+(BlockSpec cannot express overlapping halo windows).
+
+The backward runs the same kernel family: dx is the identical conv with the
+canonical kernel tap-reversed and channel-transposed (+ an elementwise
+GELU'(z_prev) epilogue), dW is one dot_general per tile accumulated into a
+VMEM-resident block across the sequential TPU grid. The custom VJP's primal
+weights are CANONICAL (kp, kp, Cin8, Cout8) packed kernels, so mode choices
+stay internal and XLA chain-rules through the kernel repack
+(ops/packed_decode.pack_conv_kernel, a gather) back to the unpacked
+parameters the quantizers own.
+
+Reference hot path being accelerated: quant_layer.py:67-81 wrapping
+models/_layers.py:20-36 (conv -> PixelShuffle -> GELU), the op the reference
+README's custom-CUDA-kernel precedent targets (readme.md:123).
+
+Numerics: matmuls accumulate fp32 (preferred_element_type). Pass bf16
+arrays for single-pass MXU throughput (the fp32 path runs multi-pass and is
+bit-comparable to the XLA conv path); on CPU (tests) kernels run in
+interpreter mode and match the packed XLA path to ~1e-5 fp32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache, partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _r8(c: int) -> int:
+    return -(-int(c) // 8) * 8
+
+
+def _r128(x: int) -> int:
+    return -(-int(x) // 128) * 128
+
+
+def _erf(x):
+    """erf in elementwise fp32 ops (Abramowitz & Stegun 7.1.26, max abs
+    error 1.5e-7). Mosaic has no erf/erfc lowering in this JAX version; this
+    error level is far below the bf16 MXU rounding the conv path already
+    carries, and the jnp twin uses the same function so both fused impls
+    agree bit-for-bit on CPU."""
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+                + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu(x):
+    """GELU via _erf (the reference uses nn.GELU approximate='none');
+    matches jax.nn.gelu(approximate=False) to ~1.5e-7."""
+    xf = x.astype(jnp.float32)
+    y = 0.5 * xf * (1.0 + _erf(xf * 0.7071067811865476))
+    return y.astype(x.dtype)
+
+
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _gelu_grad(z):
+    """d/dz [z * Phi(z)] = Phi(z) + z * phi(z), exact-GELU derivative."""
+    zf = z.astype(jnp.float32)
+    phi = jnp.exp(-0.5 * zf * zf) * _INV_SQRT_2PI
+    cdf = 0.5 * (1.0 + _erf(zf * 0.7071067811865476))
+    return cdf + zf * phi
+
+
+# --------------------------------------------------------------------------
+# Static plan
+# --------------------------------------------------------------------------
+@dataclasses.dataclass(frozen=True)
+class TailLayer:
+    cin: int            # packed input channels, padded to 8
+    cout: int           # packed output channels, padded to 8
+    side: int           # packed kernel size kp (taps per axis)
+    off: int            # left tap offset offp (packed_kernel_geometry)
+    gelu_in: bool       # input is a pre-activation -> apply GELU in-kernel
+
+    @property
+    def taps(self) -> int:
+        return self.side * self.side
+
+    @property
+    def k_dim(self) -> int:
+        return self.taps * self.cin
+
+    def transposed(self) -> "TailLayer":
+        """Geometry of the convT (dx) pass: channels swapped, tap offset
+        mirrored (tap reversal <=> negated shifts)."""
+        return TailLayer(cin=self.cout, cout=self.cin, side=self.side,
+                         off=self.side - 1 - self.off, gelu_in=False)
+
+
+@dataclasses.dataclass(frozen=True)
+class TailPlan:
+    h: int              # tail grid height (without border)
+    w: int              # tail grid width
+    pad: int            # border width P = max tap reach over layers
+    tm: int             # max lane tile; Mp is padded to a multiple of it
+    layers: Tuple[TailLayer, ...]
+
+    @property
+    def hp(self) -> int:
+        return self.h + 2 * self.pad
+
+    @property
+    def wp(self) -> int:
+        return self.w + 2 * self.pad
+
+    @property
+    def mp(self) -> int:
+        """Flattened grid size, padded up to a whole number of max tiles
+        (every per-call tile size divides tm, so any of them tile Mp)."""
+        return -(-self.hp * self.wp // self.tm) * self.tm
+
+    def shifts(self, layer: TailLayer) -> Tuple[int, ...]:
+        return tuple((ty - layer.off) * self.wp + (tx - layer.off)
+                     for ty in range(layer.side) for tx in range(layer.side))
+
+    def guard(self, layer: TailLayer) -> int:
+        s = self.shifts(layer)
+        return max(-min(s), max(s))
+
+
+@dataclasses.dataclass(frozen=True)
+class ExecCfg:
+    """Per-pallas-call execution choice: mode + lane tile, sized to VMEM."""
+    mode: str           # 'patches' | 'taps' | 'kn2row'
+    tm: int
+
+    def span(self, plan: TailPlan, layer: TailLayer) -> int:
+        """VMEM tile width = tm + both guards, rounded up to the 128-lane
+        tiling Mosaic requires of DMA slice shapes."""
+        return _r128(self.tm + 2 * plan.guard(layer))
+
+
+_VMEM_BUDGET = 11 * 1024 * 1024
+
+
+@lru_cache(maxsize=512)
+def _exec_cfg(plan: TailPlan, layer: TailLayer, itemsize: int,
+              kind: str) -> ExecCfg:
+    """Pick (mode, tm) for a fwd/convT ('fwd') or weight-gradient ('dw')
+    pallas call: padded-MXU-cost model over modes, largest tile that fits
+    the VMEM budget, a mild penalty for small tiles (per-tile overheads)."""
+    taps, cin8, cout8 = layer.taps, layer.cin, layer.cout
+    g = plan.guard(layer)
+
+    def rows(n):
+        # stationary-tile weight loads amortize over n streamed rows
+        return (n + 128) / n
+
+    def vmem(mode, tm):
+        span = _r128(tm + 2 * g)
+        v = 2 * cin8 * span * itemsize          # double-buffered input
+        v += taps * cin8 * cout8 * itemsize     # resident weights
+        if kind == "dw":
+            v += 2 * cout8 * tm * itemsize      # g tiles (double-buffered)
+            v += (cout8 * layer.k_dim if mode == "patches"
+                  else taps * cout8 * cin8) * 4   # accumulated dW
+        else:
+            v += 2 * cout8 * tm * itemsize      # output tiles
+            v += cout8 * tm * 4                 # fp32 accumulator
+            if mode == "kn2row":
+                v += taps * cout8 * span * 4    # fp32 pre-shift product
+        if mode == "patches":
+            v += taps * cin8 * tm * itemsize
+        return v
+
+    def cost(mode, tm):
+        if mode == "patches":
+            c = _r128(taps * cin8) * cout8 * rows(cout8)
+        elif mode == "taps":
+            c = taps * _r128(cin8) * cout8 * rows(cout8)
+        else:
+            span_f = _r128(tm + 2 * g) / tm
+            c = _r128(cin8) * taps * cout8 * rows(taps * cout8) * span_f
+        # mild penalty for small tiles (per-tile fixed overheads)
+        return c * (1.0 + 0.2 * (plan.tm / tm - 1.0) / 15.0)
+
+    # debug override for perf experiments, keyed by "cinxcout" (both kinds):
+    #   NQ_TAIL_MODE="176x592=taps@512,592x48=kn2row@1024"
+    import os
+    for item in filter(None, os.environ.get("NQ_TAIL_MODE", "").split(",")):
+        key, _, val = item.partition("=")
+        if key.strip() == f"{cin8}x{cout8}":
+            mode, _, tms = val.partition("@")
+            return ExecCfg(mode=mode.strip(),
+                           tm=int(tms) if tms else plan.tm)
+
+    modes = ("patches", "taps") if kind == "dw" else \
+        ("patches", "taps", "kn2row")
+    best = None
+    for mode in modes:
+        tm = plan.tm
+        while tm > 128 and vmem(mode, tm) > _VMEM_BUDGET:
+            tm //= 2
+        if vmem(mode, tm) > _VMEM_BUDGET:
+            continue
+        c = cost(mode, tm)
+        if best is None or c < best[0]:
+            best = (c, ExecCfg(mode=mode, tm=tm))
+    assert best is not None, (layer, kind, "no mode fits VMEM")
+    return best[1]
+
+
+@lru_cache(maxsize=64)
+def _mask_np(h: int, w: int, pad: int, mp: int) -> np.ndarray:
+    """(1, 1, mp) float mask: 1 at interior positions of the padded grid."""
+    hp, wp = h + 2 * pad, w + 2 * pad
+    m = np.zeros(mp, np.float32)
+    rows = np.arange(hp * wp) // wp
+    cols = np.arange(hp * wp) % wp
+    valid = ((rows >= pad) & (rows < pad + h)
+             & (cols >= pad) & (cols < pad + w))
+    m[:hp * wp] = valid
+    return m.reshape(1, 1, mp)
+
+
+def border_mask(plan: TailPlan, dtype=jnp.float32):
+    return jnp.asarray(_mask_np(plan.h, plan.w, plan.pad, plan.mp), dtype)
+
+
+# --------------------------------------------------------------------------
+# Layout converters (XLA glue)
+# --------------------------------------------------------------------------
+def nhwc_to_cf(x, plan: TailPlan):
+    """(B, H, W, C) -> (B, C8, Mp) channels-first flat with zero borders."""
+    b, h, w, c = x.shape
+    assert (h, w) == (plan.h, plan.w), (x.shape, plan)
+    x = jnp.transpose(x, (0, 3, 1, 2))                       # (B, C, H, W)
+    p = plan.pad
+    x = jnp.pad(x, ((0, 0), (0, _r8(c) - c), (p, p), (p, p)))
+    x = x.reshape(b, _r8(c), plan.hp * plan.wp)
+    return jnp.pad(x, ((0, 0), (0, 0), (0, plan.mp - plan.hp * plan.wp)))
+
+
+def cf_to_nhwc(z, plan: TailPlan, c: int):
+    """(B, C8, Mp) -> (B, H, W, C): slice interior + de-flatten."""
+    b = z.shape[0]
+    p = plan.pad
+    z = z[:, :c, :plan.hp * plan.wp].reshape(b, c, plan.hp, plan.wp)
+    z = z[:, :, p:p + plan.h, p:p + plan.w]
+    return jnp.transpose(z, (0, 2, 3, 1))
+
+
+def _guard(x, plan: TailPlan, layer: TailLayer, cfg: ExecCfg):
+    """Left/right zero guard bands so every tile's (cin, span) DMA slice is
+    in-bounds: left = G exactly (tap index = guard + shift stays static),
+    right = span - tm - G >= G (absorbs the 128-lane span round-up)."""
+    g = plan.guard(layer)
+    return jnp.pad(x, ((0, 0), (0, 0),
+                       (g, cfg.span(plan, layer) - cfg.tm - g)))
+
+
+# --------------------------------------------------------------------------
+# Weight operand layouts (XLA-level, differentiable transposes of the
+# CANONICAL padded packed kernel kk: (side, side, cin8, cout8)).
+# --------------------------------------------------------------------------
+def _kk_to_op(kk, layer: TailLayer, mode: str):
+    side, _, cin, cout = kk.shape
+    if mode == "patches":
+        # K index = (ty*side + tx) * cin + ci
+        return kk.transpose(3, 0, 1, 2).reshape(cout, layer.k_dim)
+    # rows = (ty*side + tx) * cout + co (kn2row) / leading taps dim (taps)
+    return kk.transpose(0, 1, 3, 2).reshape(layer.taps, cout, cin)
+
+
+def _kk_transpose(kk):
+    """Canonical kernel of the convT pass: reverse both tap axes, swap
+    channel axes."""
+    return kk[::-1, ::-1].transpose(0, 1, 3, 2)
+
+
+def _op_to_kk_grad(dw, layer: TailLayer, mode: str):
+    """Map a dW in operand layout back to canonical (side,side,cin,cout)."""
+    side = layer.side
+    if mode == "patches":
+        dw = dw.reshape(layer.cout, side, side, layer.cin)
+        return dw.transpose(1, 2, 3, 0)
+    dw = dw.reshape(side, side, layer.cout, layer.cin)
+    return dw.transpose(0, 1, 3, 2)
+
+
+# --------------------------------------------------------------------------
+# Pallas kernels. Grid is 1-D over B * n_tiles; the guarded input streams
+# through a 2-slot double-buffered manual DMA (overlapping halo windows are
+# inexpressible as BlockSpecs).
+# --------------------------------------------------------------------------
+def _dma(x_hbm, x_vmem, sem, l, n_tiles, tm, span, slot):
+    b = l // n_tiles
+    i = l % n_tiles
+    return pltpu.make_async_copy(
+        x_hbm.at[b, :, pl.ds(pl.multiple_of(i * tm, 128), span)],
+        x_vmem.at[slot], sem.at[slot])
+
+
+def _stream_tile(x_hbm, x_vmem, sem, *, n_tiles, tm, span):
+    """Start next tile's DMA, wait for this tile's; returns its VMEM view."""
+    l = pl.program_id(0)
+    nl = pl.num_programs(0)
+
+    @pl.when(l == 0)
+    def _():
+        _dma(x_hbm, x_vmem, sem, l, n_tiles, tm, span, 0).start()
+
+    @pl.when(l + 1 < nl)
+    def _():
+        _dma(x_hbm, x_vmem, sem, l + 1, n_tiles, tm, span, (l + 1) % 2).start()
+
+    _dma(x_hbm, x_vmem, sem, l, n_tiles, tm, span, l % 2).wait()
+    return x_vmem[l % 2]
+
+
+def _accumulate(xt, w_ref, patches, *, shifts, guard, tm, mode,
+                layer: TailLayer):
+    """The conv tile compute: (cout, tm) fp32 accumulator from the guarded
+    VMEM tile xt (cin, span) and resident weights."""
+    if layer.gelu_in:
+        xt = _gelu(xt)
+    if mode == "patches":
+        for t, s in enumerate(shifts):
+            patches[t * layer.cin:(t + 1) * layer.cin, :] = (
+                xt[:, guard + s: guard + s + tm])
+        return jnp.dot(w_ref[...], patches[...],
+                       preferred_element_type=jnp.float32)
+    if mode == "kn2row":
+        w = w_ref[...].reshape(layer.taps * layer.cout, layer.cin)
+        z = jnp.dot(w, xt, preferred_element_type=jnp.float32)
+        acc = jnp.zeros((layer.cout, tm), jnp.float32)
+        for t, s in enumerate(shifts):
+            acc = acc + z[t * layer.cout:(t + 1) * layer.cout,
+                          guard + s: guard + s + tm]
+        return acc
+    acc = jnp.zeros((layer.cout, tm), jnp.float32)
+    for t, s in enumerate(shifts):
+        acc = acc + jnp.dot(w_ref[t], xt[:, guard + s: guard + s + tm],
+                            preferred_element_type=jnp.float32)
+    return acc
+
+
+def _fwd_kernel(x_hbm, w_ref, b_ref, m_ref, out_ref, x_vmem, patches, sem, *,
+                shifts, guard, span, tm, n_tiles, mode, layer: TailLayer,
+                out_dtype):
+    xt = _stream_tile(x_hbm, x_vmem, sem, n_tiles=n_tiles, tm=tm, span=span)
+    acc = _accumulate(xt, w_ref, patches, shifts=shifts, guard=guard, tm=tm,
+                      mode=mode, layer=layer)
+    if b_ref is not None:
+        acc = acc + b_ref[...].astype(jnp.float32)
+    if m_ref is not None:
+        acc = acc * _gelu_grad(m_ref[0])
+    out_ref[0] = acc.astype(out_dtype)
+
+
+def _dw_kernel(x_hbm, g_ref, dw_ref, db_ref, x_vmem, patches, sem, *,
+               shifts, guard, span, tm, n_tiles, mode, layer: TailLayer):
+    xt = _stream_tile(x_hbm, x_vmem, sem, n_tiles=n_tiles, tm=tm, span=span)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    if layer.gelu_in:
+        xt = _gelu(xt)
+    g = g_ref[0]
+    contract = (((1,), (1,)), ((), ()))
+    if mode == "patches":
+        for t, s in enumerate(shifts):
+            patches[t * layer.cin:(t + 1) * layer.cin, :] = (
+                xt[:, guard + s: guard + s + tm])
+        dw_ref[...] += jax.lax.dot_general(
+            g, patches[...], contract, preferred_element_type=jnp.float32)
+    else:
+        for t, s in enumerate(shifts):
+            dw_ref[t] += jax.lax.dot_general(
+                g, xt[:, guard + s: guard + s + tm], contract,
+                preferred_element_type=jnp.float32)
+    db_ref[...] += jnp.sum(g.astype(jnp.float32), axis=1, keepdims=True)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _scratch(plan, layer, cfg, dtype):
+    span = cfg.span(plan, layer)
+    return [
+        pltpu.VMEM((2, layer.cin, span), dtype),
+        pltpu.VMEM((layer.k_dim, cfg.tm), dtype) if cfg.mode == "patches"
+        else pltpu.VMEM((8, 128), dtype),                     # unused stub
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+
+
+def _conv_cf(x, kk, bias, out_mul, plan: TailPlan, layer: TailLayer,
+             out_dtype):
+    """One channels-first conv layer: x (B, cin, Mp) -> (B, cout, Mp).
+    out_mul (B, cout, Mp) triggers the convT GELU' epilogue."""
+    b = x.shape[0]
+    cfg = _exec_cfg(plan, layer, jnp.dtype(x.dtype).itemsize, "fwd")
+    xg = _guard(x, plan, layer, cfg)
+    wm = _kk_to_op(kk, layer, cfg.mode)
+    nt = plan.mp // cfg.tm
+    kern = partial(_fwd_kernel, shifts=plan.shifts(layer),
+                   guard=plan.guard(layer), span=cfg.span(plan, layer),
+                   tm=cfg.tm, n_tiles=nt, mode=cfg.mode, layer=layer,
+                   out_dtype=out_dtype)
+    grid = (b * nt,)
+    x_spec = pl.BlockSpec(memory_space=pl.ANY)
+    w_spec = pl.BlockSpec(wm.shape, lambda l: (0,) * wm.ndim,
+                          memory_space=pltpu.VMEM)
+    blk3 = lambda c: pl.BlockSpec(
+        (1, c, cfg.tm), lambda l: (l // nt, 0, l % nt),
+        memory_space=pltpu.VMEM)
+    in_specs, args = [x_spec, w_spec], [xg, wm]
+    # assemble optional operands with explicit None routing
+    if bias is not None and out_mul is not None:
+        k2 = lambda x, w, bb, mm, o, xv, p, s: kern(x, w, bb, mm, o, xv, p, s)
+        in_specs += [pl.BlockSpec((layer.cout, 1), lambda l: (0, 0),
+                                  memory_space=pltpu.VMEM), blk3(layer.cout)]
+        args += [bias, out_mul]
+    elif bias is not None:
+        k2 = lambda x, w, bb, o, xv, p, s: kern(x, w, bb, None, o, xv, p, s)
+        in_specs += [pl.BlockSpec((layer.cout, 1), lambda l: (0, 0),
+                                  memory_space=pltpu.VMEM)]
+        args += [bias]
+    elif out_mul is not None:
+        k2 = lambda x, w, mm, o, xv, p, s: kern(x, w, None, mm, o, xv, p, s)
+        in_specs += [blk3(layer.cout)]
+        args += [out_mul]
+    else:
+        k2 = lambda x, w, o, xv, p, s: kern(x, w, None, None, o, xv, p, s)
+    return pl.pallas_call(
+        k2, grid=grid, in_specs=in_specs, out_specs=blk3(layer.cout),
+        out_shape=jax.ShapeDtypeStruct((b, layer.cout, plan.mp), out_dtype),
+        scratch_shapes=_scratch(plan, layer, cfg, xg.dtype),
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(*args)
+
+
+def _conv_cf_dw(x, g, plan: TailPlan, layer: TailLayer):
+    """dW/db for one layer: x input (B, cin, Mp), g cotangent (B, cout, Mp)
+    -> (canonical dkk fp32, db (cout, 1) fp32)."""
+    b = x.shape[0]
+    cfg = _exec_cfg(plan, layer, jnp.dtype(x.dtype).itemsize, "dw")
+    xg = _guard(x, plan, layer, cfg)
+    nt = plan.mp // cfg.tm
+    if cfg.mode == "patches":
+        dw_shape = (layer.cout, layer.k_dim)
+        dw_spec = pl.BlockSpec(dw_shape, lambda l: (0, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        dw_shape = (layer.taps, layer.cout, layer.cin)
+        dw_spec = pl.BlockSpec(dw_shape, lambda l: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    kern = partial(_dw_kernel, shifts=plan.shifts(layer),
+                   guard=plan.guard(layer), span=cfg.span(plan, layer),
+                   tm=cfg.tm, n_tiles=nt, mode=cfg.mode, layer=layer)
+    dw, db = pl.pallas_call(
+        kern, grid=(b * nt,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec((1, layer.cout, cfg.tm),
+                               lambda l: (l // nt, 0, l % nt),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(dw_spec,
+                   pl.BlockSpec((layer.cout, 1), lambda l: (0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct(dw_shape, jnp.float32),
+                   jax.ShapeDtypeStruct((layer.cout, 1), jnp.float32)),
+        scratch_shapes=_scratch(plan, layer, cfg, xg.dtype),
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(xg, g)
+    return _op_to_kk_grad(dw, layer, cfg.mode), db
+
+
+# --------------------------------------------------------------------------
+# jnp reference implementation (test oracle + non-TPU fallback path)
+# --------------------------------------------------------------------------
+def _conv_cf_jnp(x, kk, bias, out_mul, plan: TailPlan, layer: TailLayer,
+                 out_dtype):
+    shifts = plan.shifts(layer)
+    g = plan.guard(layer)
+    wm = _kk_to_op(kk, layer, "taps")
+    xg = jnp.pad(x, ((0, 0), (0, 0), (g, g)))
+    xt = _gelu(xg) if layer.gelu_in else xg
+    pats = jnp.stack([xt[:, :, g + s: g + s + plan.mp] for s in shifts],
+                     axis=1)                       # (B, taps, cin, Mp)
+    acc = jnp.einsum("toc,btcm->bom", wm, pats,
+                     preferred_element_type=jnp.float32)
+    if bias is not None:
+        acc = acc + bias.astype(jnp.float32)[None]
+    if out_mul is not None:
+        acc = acc * _gelu_grad(out_mul)
+    return acc.astype(out_dtype)
+
+
+# --------------------------------------------------------------------------
+# Fused tail apply with custom VJP (primal weights: canonical padded kks)
+# --------------------------------------------------------------------------
+def _tail_fwd_impl(plan: TailPlan, conv, x_cf, kks, biases):
+    mask = border_mask(plan, x_cf.dtype)
+    h = x_cf
+    residuals = [x_cf]
+    for li, layer in enumerate(plan.layers):
+        z = conv(h, kks[li], biases[li], None, plan, layer, x_cf.dtype)
+        z = z * mask
+        if li < len(plan.layers) - 1:
+            residuals.append(z)
+        h = z
+    return h, residuals
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def tail_apply(plan: TailPlan, x_cf, kks, biases):
+    """Run the fused tail: x_cf (B, C0_8, Mp) channels-first (zero borders)
+    -> pre-activation head output (B, C_last_8, Mp), borders zeroed.
+
+    kks/biases: per-layer canonical packed kernels (side, side, cin8, cout8)
+    and biases (cout8, 1) from :func:`plan_and_pack`. Layer 0 consumes x_cf
+    as-is (post-activation input); layers 1..n apply GELU in-kernel (their
+    inputs are stored pre-activation)."""
+    out, _ = _tail_fwd_impl(plan, _conv_cf, x_cf, tuple(kks), tuple(biases))
+    return out
+
+
+def _tail_apply_fwd(plan, x_cf, kks, biases):
+    out, residuals = _tail_fwd_impl(plan, _conv_cf, x_cf, tuple(kks),
+                                    tuple(biases))
+    return out, (tuple(residuals), tuple(kks), tuple(biases))
+
+
+def _tail_apply_bwd(plan, res, g_out):
+    residuals, kks, biases = res
+    mask = border_mask(plan, g_out.dtype)
+    g = g_out * mask
+    dkks, dbs = [None] * len(plan.layers), [None] * len(plan.layers)
+    for li in range(len(plan.layers) - 1, -1, -1):
+        layer = plan.layers[li]
+        x_in = residuals[li]
+        dkk, db = _conv_cf_dw(x_in, g, plan, layer)
+        dkks[li] = dkk.astype(kks[li].dtype)
+        dbs[li] = (db.astype(biases[li].dtype)
+                   if biases[li] is not None else None)
+        out_mul = x_in if layer.gelu_in else None
+        g = _conv_cf(g, _kk_transpose(kks[li]), None, out_mul, plan,
+                     layer.transposed(), g.dtype)
+        g = g * mask
+    return g, tuple(dkks), tuple(dbs)
+
+
+tail_apply.defvjp(_tail_apply_fwd, _tail_apply_bwd)
+
+
+def tail_apply_jnp(plan: TailPlan, x_cf, kks, biases):
+    """Pure-jnp twin of :func:`tail_apply` (jax autodiff supplies the VJP) —
+    the test oracle, and the path used on non-TPU backends where the Pallas
+    interpreter would be slow."""
+    out, _ = _tail_fwd_impl(plan, _conv_cf_jnp, x_cf, tuple(kks),
+                            tuple(biases))
+    return out
+
+
+# --------------------------------------------------------------------------
+# Plan building + weight packing
+# --------------------------------------------------------------------------
+@lru_cache(maxsize=64)
+def _make_plan(h: int, w: int, geoms: Tuple, tm: int) -> TailPlan:
+    pad = max(max(off, side - 1 - off) for side, off, _, _ in geoms)
+    layers = []
+    for li, (side, off, cin_raw, cout_raw) in enumerate(geoms):
+        layers.append(TailLayer(
+            cin=_r8(cin_raw), cout=_r8(cout_raw), side=side, off=off,
+            gelu_in=li > 0))
+    return TailPlan(h=h, w=w, pad=pad, tm=tm, layers=tuple(layers))
+
+
+def _pad_kk(kk, cin8: int, cout8: int):
+    return jnp.pad(kk, ((0, 0), (0, 0), (0, cin8 - kk.shape[2]),
+                        (0, cout8 - kk.shape[3])))
+
+
+def plan_and_pack(h: int, w: int, blocks, head, tm: int = 0):
+    """Build the static TailPlan + per-layer canonical kernel operands for a
+    decoder tail entered UNPACKED at resolution (h, w).
+
+    blocks: [(w_hwio (k, k, cin, cout*r*r), bias (cout*r*r,) | None, r), ...]
+        the tail NeRVBlock convs from pack_start on (reference semantics:
+        conv -> PixelShuffle(r) -> GELU, models/_layers.py:20-36);
+    head:   (w_hwio (k, k, cin, c_out), bias | None) final stride-1 conv.
+
+    Returns (plan, kks, biases, f_final, head_cout_packed). All packing /
+    relabeling reuses ops/packed_decode (pure gathers — differentiable), so
+    fake-quantized weights flow through unchanged.
+    """
+    from neuroquant_tpu.ops.packed_decode import (
+        compose_shuffle_perm, identity_perm, pack_conv_kernel,
+        packed_kernel_geometry,
+    )
+
+    tm = tm or _auto_tm(h, w)
+    f, perm = 1, None
+    kks, bbs, geoms = [], [], []
+    for (w_hwio, bias, r) in blocks:
+        kh, kw, cin, cout_rr = w_hwio.shape
+        assert kh == kw and kh % 2 == 1, w_hwio.shape
+        cout = cout_rr // (r * r)
+        # relabel conv output channels shuffle-subposition-major, exactly as
+        # upsample_conv_packed does (packed_decode.py:273-283)
+        wrel = (w_hwio.reshape(kh, kw, cin, cout, r, r)
+                .transpose(0, 1, 2, 4, 5, 3).reshape(kh, kw, cin, cout_rr))
+        brel = None
+        if bias is not None:
+            brel = bias.reshape(cout, r, r).transpose(1, 2, 0).reshape(-1)
+        if f == 1:
+            kk, off = wrel, (kh - 1) // 2
+        else:
+            kk = pack_conv_kernel(wrel, f, in_perm=perm, out_perm=None)
+            _, off = packed_kernel_geometry(kh, f)
+            if brel is not None:
+                brel = jnp.tile(brel, f * f)
+        kks.append(kk)
+        bbs.append(brel)
+        geoms.append((kk.shape[0], off, kk.shape[2], kk.shape[3]))
+        perm = compose_shuffle_perm(identity_perm(f), f, r)
+        f *= r
+    wh, bh = head
+    khh = wh.shape[0]
+    kk = pack_conv_kernel(wh, f, in_perm=perm, out_perm=None)
+    _, off = packed_kernel_geometry(khh, f)
+    kks.append(kk)
+    bbs.append(jnp.tile(bh, f * f) if bh is not None else None)
+    geoms.append((kk.shape[0], off, kk.shape[2], kk.shape[3]))
+
+    plan = _make_plan(h, w, tuple(geoms), tm)
+    kks_p, bms = [], []
+    for kk, bb, layer in zip(kks, bbs, plan.layers):
+        kks_p.append(_pad_kk(kk, layer.cin, layer.cout))
+        bms.append(jnp.pad(bb, (0, layer.cout - bb.shape[0]))
+                   .reshape(layer.cout, 1) if bb is not None else None)
+    return plan, tuple(kks_p), tuple(bms), f, kks[-1].shape[3]
+
+
+# --------------------------------------------------------------------------
+# Model-facing entry points
+# --------------------------------------------------------------------------
+def _auto_tm(h: int, w: int) -> int:
+    return 2048 if h * w >= 16384 else (512 if h * w >= 4096 else 128)
+
+
+def resolve_impl(fused_tail: str) -> str | None:
+    """cfg 'fused_tail' knob -> 'pallas' | 'jnp' | None (use the XLA packed
+    path). 'auto' selects the Pallas kernels on TPU and the XLA packed path
+    elsewhere (tests force 'pallas'/'jnp' explicitly)."""
+    ft = str(fused_tail).lower()
+    if ft in ("off", "false", "none", "xla"):
+        return None
+    if ft == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else None
+    if ft in ("pallas", "jnp"):
+        return ft
+    raise ValueError(f"fused_tail={fused_tail!r} (use auto|pallas|jnp|off)")
+
+
+def run_fused_tail(x, blocks, head, impl: str = "pallas", tm: int = 0):
+    """Execute the tail on NHWC input x at the tail-entry resolution.
+    Returns (packed head output NHWC (B, h, w, ch_packed), f_final)."""
+    h, w = int(x.shape[1]), int(x.shape[2])
+    plan, kks, bms, f, ch = plan_and_pack(h, w, blocks, head, tm=tm)
+    fn = tail_apply if impl == "pallas" else tail_apply_jnp
+    z = fn(plan, nhwc_to_cf(x, plan), kks, bms)
+    return cf_to_nhwc(z, plan, ch), f
+
+
+def run_fused_tail_cf(x, blocks, head, impl: str = "pallas", tm: int = 0):
+    """Like :func:`run_fused_tail` but stays channels-first: returns
+    (z_cf (B, ch8, Mp), plan, ch, f) so a caller can compute the
+    reconstruction loss directly in the packed flat domain (the
+    depth-to-space is a permutation — sums of elementwise losses are
+    invariant to it; see quantization/calibrate.py)."""
+    h, w = int(x.shape[1]), int(x.shape[2])
+    plan, kks, bms, f, ch = plan_and_pack(h, w, blocks, head, tm=tm)
+    fn = tail_apply if impl == "pallas" else tail_apply_jnp
+    z = fn(plan, nhwc_to_cf(x, plan), kks, bms)
+    return z, plan, ch, f
+
+
+def pack_targets(frames, plan: TailPlan, f: int):
+    """Ground-truth frames (N, H, W, C) -> (N, ch8, Mp) channels-first packed
+    layout matching the fused head output (identity groups, zero borders)."""
+    from neuroquant_tpu.ops.packed_decode import space_to_depth
+
+    return nhwc_to_cf(space_to_depth(frames, f), plan)
