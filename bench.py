@@ -88,22 +88,41 @@ def child(progress_path: str, batch_size: int, iters: int) -> None:
                 "steady": e > 0}) + "\n")
         last["t"], last["count"] = now, count
 
+    from neuroquant_tpu.models import tail_plan_for
+    from neuroquant_tpu.ops.tail_fused import border_mask, pack_targets
+
+    cf_pack = None
+    tp = tail_plan_for("hnerv", cfg)
+    if tp is not None:
+        plan, f, _ = tp
+        cf_pack = {"gt": pack_targets(dataset.frames, plan, f),
+                   "mask": border_mask(plan),
+                   "denom": cfg["crop_h"] * cfg["crop_w"]}
+
     t0 = time.time()
     state, _ = model_reconstruction(
         model, params, spec, state, cali_data, dataset.frames, train_ind,
         arch="hnerv", batch_size=batch_size, iters=iters, weight=0.01,
         b_range=(20, 2), warmup=0.2, p=2.0, lr=0.003, seed=903,
-        log_fn=logging.info, epoch_hook=epoch_hook)
+        log_fn=logging.info, epoch_hook=epoch_hook, cf_pack=cf_pack)
     total = time.time() - t0
     logging.info("total calib wall: %.1fs (%d steps/epoch)", total,
                  steps_per_epoch)
+
+    # BASELINE.md tracks three metrics; measure decode FPS/chip here too
+    # (weight VALUES don't affect throughput) and stream it to the parent
+    from neuroquant_tpu.methods.common import measure_decode_fps
+    fps = measure_decode_fps(model, params, cali_data, 1, n_iters=100)
+    logging.info("decode fps (batch 1): %.1f", fps)
+    prog.write(json.dumps({"decode_fps": round(float(fps), 1)}) + "\n")
     prog.write(json.dumps({"done": True, "total_s": round(total, 1)}) + "\n")
     prog.close()
 
 
-def best_steady_rate(progress_path: str) -> float | None:
-    """Median steady-state iters/s from the progress stream (None if empty)."""
-    rates = []
+def best_steady_rate(progress_path: str):
+    """(median steady-state iters/s | None, decode_fps | None) from the
+    progress stream."""
+    rates, fps = [], None
     try:
         with open(progress_path) as f:
             for line in f:
@@ -113,12 +132,14 @@ def best_steady_rate(progress_path: str) -> float | None:
                     continue
                 if rec.get("steady") and "iters_per_sec" in rec:
                     rates.append(rec["iters_per_sec"])
+                if "decode_fps" in rec:
+                    fps = rec["decode_fps"]
     except OSError:
-        return None
+        return None, None
     if not rates:
-        return None
+        return None, fps
     rates.sort()
-    return rates[len(rates) // 2]
+    return rates[len(rates) // 2], fps
 
 
 def main() -> None:
@@ -158,7 +179,7 @@ def main() -> None:
               file=sys.stderr)
         time.sleep(10)   # let a crashed TPU worker recover its claim
 
-    rate = best_steady_rate(progress_path)
+    rate, decode_fps = best_steady_rate(progress_path)
     result = {
         "metric": "hnerv_bunny_network_calib_throughput",
         "value": round(rate, 2) if rate is not None else 0.0,
@@ -166,6 +187,22 @@ def main() -> None:
         "vs_baseline": (round(rate / BASELINE_ITERS_PER_SEC, 2)
                         if rate is not None else 0.0),
     }
+    # BASELINE.md tracks three metrics (PSNR@bpp delta, calib iters/s,
+    # decode FPS/chip) — carry the other two as extra fields in the same line
+    if decode_fps is not None:
+        result["decode_fps_per_chip"] = decode_fps
+        result["decode_fps_vs_ref_gpu"] = round(decode_fps / 174.0, 2)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "results", "headline.json")) as f:
+            head = json.load(f)
+        result["psnr_at_bpp"] = head["hnerv"]["quantized_psnr_db"]
+        result["bpp"] = head["hnerv"]["bpp"]
+        result["psnr_at_bpp_delta_vs_ref_db"] = round(
+            head["hnerv"]["quantized_psnr_db"]
+            - head["hnerv"]["ref_quantized_psnr_db"], 3)
+    except (OSError, KeyError, json.JSONDecodeError):
+        pass
     if note and rate is not None:
         result["note"] = f"partial ({note})"
     elif note:

@@ -88,6 +88,12 @@ def parse_args(argv):
     parser.add_argument("--calib_ckpt_freq", default=25, type=int,
                         help="phase-2 crash-recovery checkpoint every N "
                              "epochs (0 disables; resumed automatically)")
+    parser.add_argument("--cf_loss", default="auto", type=str,
+                        choices=["auto", "on", "off"],
+                        help="calibration loss in the packed channels-first "
+                             "domain (decode_cf vs pre-packed GT); 'auto' "
+                             "enables it whenever the arch has a packed "
+                             "GELU tail")
     parser.add_argument("--fq_impl", default="jnp", type=str,
                         choices=["jnp", "pallas"],
                         help="weight fake-quant implementation: XLA-fused "
@@ -190,6 +196,31 @@ def calibrate(args, cfg):
                      args.mesh_devices, mesh)
 
     import jax.numpy as jnp
+
+    cf_pack = None
+    if args.cf_loss != "off":
+        # run the calibration loss in the packed channels-first domain
+        # (model.decode_cf vs pre-packed GT): mathematically identical —
+        # depth-to-space is a permutation and elementwise-loss sums are
+        # permutation-invariant — but the per-step unpack + NHWC transposes
+        # leave the hot loop (ops/tail_fused.py)
+        from neuroquant_tpu.models import tail_plan_for
+        from neuroquant_tpu.ops.tail_fused import border_mask, pack_targets
+        tp = tail_plan_for(args.arch, cfg)
+        if tp is not None:
+            plan, f, _ = tp
+            cf_pack = {
+                "gt": jax.block_until_ready(
+                    pack_targets(dataset.frames, plan, f)),
+                "mask": border_mask(plan),
+                "denom": cfg["crop_h"] * cfg["crop_w"],
+            }
+            logging.info("cf_loss: packed-domain calibration loss on (f=%d, "
+                         "Mp=%d)", f, plan.mp)
+        elif args.cf_loss == "on":
+            raise SystemExit("--cf_loss on: no packed GELU tail for this "
+                             "arch/config (use --cf_loss off)")
+
     start = datetime.now()
     state, mode = model_reconstruction(
         model, params, spec, state, cali_data, dataset.frames, train_ind,
@@ -200,7 +231,8 @@ def calibrate(args, cfg):
                        else None),
         checkpoint_path=(os.path.join(args.outf, "calib_resume.pkl")
                          if args.calib_ckpt_freq else None),
-        ckpt_every_epochs=max(args.calib_ckpt_freq, 1), mesh=mesh)
+        ckpt_every_epochs=max(args.calib_ckpt_freq, 1), mesh=mesh,
+        cf_pack=cf_pack)
     logging.info(f"Training complete in: {str(datetime.now() - start)}")
 
     qparams = quantize_params(params, spec, state, mode=mode, soft=False)

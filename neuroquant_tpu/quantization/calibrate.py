@@ -72,13 +72,21 @@ def _run_phase(*, model, params, spec, state, cali_data, frames, train_ind,
                trainable_keys, mode, opt, epochs, steps_per_epoch, batch_size,
                p, rng, loss_extra=None, count_offset=0, log_every=500,
                log_fn=logging.info, phase_name="", compute_dtype=None,
-               start_epoch=0, epoch_cb=None, mesh=None):
+               start_epoch=0, epoch_cb=None, mesh=None, cf_pack=None):
     """Jit one epoch (scan over shuffled batches) and loop it on the host."""
     if epochs <= 0:
         return state, count_offset
     train_ind = jnp.asarray(np.asarray(train_ind), jnp.int32)
     tstate, frozen = _split_state(state, trainable_keys)
     opt_state = opt.init(tstate)
+    if cf_pack is not None:
+        # packed channels-first loss: `frames` carries the pre-packed ground
+        # truth (tail_fused.pack_targets) and the decode stops at the packed
+        # head output (model.decode_cf) — the final depth-to-space is a
+        # permutation, so the summed elementwise loss is identical while the
+        # per-step unpack + NHWC transposes disappear from the hot loop.
+        frames = cf_pack["gt"]
+        cf_mask, cf_denom = cf_pack["mask"], float(cf_pack["denom"])
 
     # NOTE: frames/cali_data/params are explicit jit arguments, never closure
     # captures — closing over them would embed gigabytes of video as HLO
@@ -94,8 +102,18 @@ def _run_phase(*, model, params, spec, state, cali_data, frames, train_ind,
             qp = jax.tree_util.tree_map(
                 lambda x: x.astype(compute_dtype), qp)
             inputs = inputs.astype(compute_dtype)
-        pred = model.apply(qp, inputs, method="decode").astype(jnp.float32)
-        rec = lp_loss(pred, img, p=p)
+        if cf_pack is not None:
+            pred = model.apply(qp, inputs,
+                               method="decode_cf").astype(jnp.float32)
+            diff = (pred - img) * cf_mask
+            d = diff * diff if p == 2.0 else jnp.abs(diff) ** p
+            # == lp_loss(reduction='none') on the unpacked NHWC image:
+            # sum over channels, mean over B*H*W (metrics.py:87-107)
+            rec = d.sum() / (idx.shape[0] * cf_denom)
+        else:
+            pred = model.apply(qp, inputs,
+                               method="decode").astype(jnp.float32)
+            rec = lp_loss(pred, img, p=p)
         if loss_extra is not None:
             rnd, b = loss_extra(st, count)
         else:
@@ -164,7 +182,7 @@ def model_reconstruction(model, params, spec: QuantSpec, state: Dict,
                          log_fn=logging.info, compute_dtype=None,
                          checkpoint_path: str | None = None,
                          ckpt_every_epochs: int = 25, mesh=None,
-                         epoch_hook=None):
+                         epoch_hook=None, cf_pack=None):
     """Returns (calibrated QuantState, mode='adaround'). After return, decode
     quantized with quantize_params(..., mode='adaround', soft=False).
 
@@ -190,13 +208,37 @@ def model_reconstruction(model, params, spec: QuantSpec, state: Dict,
         log_fn(f"[calib] resuming from {checkpoint_path}: "
                f"phase2 epoch {resume['epoch'] + 1}, count {resume['count']}")
 
+    # crash-recovery checkpoints are written OFF the critical path: a real
+    # 21k CLI run was 7% slower than the microbenchmark because the 24 MB
+    # QuantState was synchronously fetched + pickled 12x per run (round-2
+    # RESULTS roadmap item 2). The device->host fetch and pickle now run in
+    # a daemon thread that overlaps the next epochs' device work; threads
+    # are chained so at most one save is in flight and the tmp-file rename
+    # keeps the on-disk checkpoint atomic.
+    import threading
+
+    save_thread = [None]
+    # device-side snapshot before handing off: the live tstate buffers are
+    # DONATED into the next epoch's jitted step, so the thread must read an
+    # un-donated copy (one jitted copy program, ~instant for 24 MB)
+    snapshot = jax.jit(lambda t: jax.tree_util.tree_map(jnp.copy, t))
+
     def save_ckpt(epoch, st, count):
         if checkpoint_path is None:
             return
-        with open(checkpoint_path + ".tmp", "wb") as f:
-            pickle.dump({"epoch": epoch, "count": count,
-                         "state": jax.tree_util.tree_map(np.asarray, st)}, f)
-        os.replace(checkpoint_path + ".tmp", checkpoint_path)
+        if save_thread[0] is not None:
+            save_thread[0].join()
+        st = snapshot(st)
+
+        def _write(epoch=epoch, st=st, count=count):
+            with open(checkpoint_path + ".tmp", "wb") as f:
+                pickle.dump({"epoch": epoch, "count": count,
+                             "state": jax.tree_util.tree_map(np.asarray, st)},
+                            f)
+            os.replace(checkpoint_path + ".tmp", checkpoint_path)
+
+        save_thread[0] = threading.Thread(target=_write, daemon=True)
+        save_thread[0].start()
 
     # ---- Phase 1: scales (calib_model.py:120-167) ----
     epochs1 = int(0.05 * iters / steps_per_epoch)
@@ -210,7 +252,7 @@ def model_reconstruction(model, params, spec: QuantSpec, state: Dict,
             opt=optax.adam(0.001, eps=1e-8), epochs=epochs1,
             steps_per_epoch=steps_per_epoch, batch_size=batch_size, p=p,
             rng=prng1, log_fn=log_fn, phase_name="phase1",
-            compute_dtype=compute_dtype, mesh=mesh)
+            compute_dtype=compute_dtype, mesh=mesh, cf_pack=cf_pack)
         log_fn(f"[calib] phase 1 (delta): {epochs1} epochs x {steps_per_epoch} "
                f"steps in {time.time() - t0:.1f}s")
 
@@ -251,8 +293,10 @@ def model_reconstruction(model, params, spec: QuantSpec, state: Dict,
         steps_per_epoch=steps_per_epoch, batch_size=batch_size, p=p,
         rng=prng2, loss_extra=loss_extra, log_fn=log_fn, phase_name="phase2",
         compute_dtype=compute_dtype, start_epoch=start_epoch,
-        count_offset=count0, epoch_cb=epoch_cb, mesh=mesh)
+        count_offset=count0, epoch_cb=epoch_cb, mesh=mesh, cf_pack=cf_pack)
     dt = time.time() - t0
     log_fn(f"[calib] phase 2 (alpha): {epochs2} epochs x {steps_per_epoch} steps "
            f"in {dt:.1f}s ({epochs2 * steps_per_epoch / max(dt, 1e-9):.1f} iters/s)")
+    if save_thread[0] is not None:
+        save_thread[0].join()
     return state, "adaround"
