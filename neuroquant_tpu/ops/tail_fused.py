@@ -172,7 +172,7 @@ class ExecCfg:
         return _r128(self.tm + 2 * plan.guard(layer))
 
 
-_VMEM_BUDGET = 11 * 1024 * 1024
+_VMEM_BUDGET = 8 * 1024 * 1024
 
 
 @lru_cache(maxsize=512)
@@ -197,8 +197,8 @@ def _exec_cfg(plan: TailPlan, layer: TailLayer, itemsize: int,
             v += (cout8 * layer.k_dim if mode == "patches"
                   else taps * cout8 * cin8) * 4   # accumulated dW
         else:
-            v += 2 * cout8 * tm * itemsize      # output tiles
-            v += cout8 * tm * 4                 # fp32 accumulator
+            v += 4 * cout8 * tm * itemsize      # z + y output tiles (dbuf)
+            v += 2 * cout8 * tm * 4             # fp32 accumulator + epilogue
             if mode == "kn2row":
                 v += taps * cout8 * span * 4    # fp32 pre-shift product
         if mode == "patches":
@@ -354,8 +354,6 @@ def _accumulate(xt, w_ref, patches, *, shifts, guard, tm, mode,
                 layer: TailLayer):
     """The conv tile compute: (cout, tm) fp32 accumulator from the guarded
     VMEM tile xt (cin, span) and resident weights."""
-    if layer.gelu_in:
-        xt = _gelu(xt)
     if mode == "patches":
         for t, s in enumerate(shifts):
             patches[t * layer.cin:(t + 1) * layer.cin, :] = (
@@ -377,9 +375,9 @@ def _accumulate(xt, w_ref, patches, *, shifts, guard, tm, mode,
     return acc
 
 
-def _fwd_kernel(x_hbm, w_ref, b_ref, m_ref, out_ref, x_vmem, patches, sem, *,
-                shifts, guard, span, tm, n_tiles, mode, layer: TailLayer,
-                out_dtype):
+def _fwd_kernel(x_hbm, w_ref, b_ref, mask_ref, m_ref, z_ref, y_ref,
+                x_vmem, patches, sem, *, shifts, guard, span, tm, n_tiles,
+                mode, layer: TailLayer, out_dtype):
     xt = _stream_tile(x_hbm, x_vmem, sem, n_tiles=n_tiles, tm=tm, span=span)
     acc = _accumulate(xt, w_ref, patches, shifts=shifts, guard=guard, tm=tm,
                       mode=mode, layer=layer)
@@ -387,7 +385,13 @@ def _fwd_kernel(x_hbm, w_ref, b_ref, m_ref, out_ref, x_vmem, patches, sem, *,
         acc = acc + b_ref[...].astype(jnp.float32)
     if m_ref is not None:
         acc = acc * _gelu_grad(m_ref[0])
-    out_ref[0] = acc.astype(out_dtype)
+    # border re-zeroing ('same' zero-padding semantics) and the next layer's
+    # activation are kernel epilogues: one evaluation per position, no extra
+    # XLA elementwise passes over the activations
+    acc = acc * mask_ref[0].astype(jnp.float32)
+    z_ref[0] = acc.astype(out_dtype)
+    if y_ref is not None:
+        y_ref[0] = _gelu(acc).astype(out_dtype)
 
 
 def _dw_kernel(x_hbm, g_ref, dw_ref, db_ref, x_vmem, patches, sem, *,
@@ -399,8 +403,6 @@ def _dw_kernel(x_hbm, g_ref, dw_ref, db_ref, x_vmem, patches, sem, *,
         dw_ref[...] = jnp.zeros_like(dw_ref)
         db_ref[...] = jnp.zeros_like(db_ref)
 
-    if layer.gelu_in:
-        xt = _gelu(xt)
     g = g_ref[0]
     contract = (((1,), (1,)), ((), ()))
     if mode == "patches":
@@ -432,14 +434,16 @@ def _scratch(plan, layer, cfg, dtype):
 
 
 def _conv_cf(x, kk, bias, out_mul, plan: TailPlan, layer: TailLayer,
-             out_dtype):
-    """One channels-first conv layer: x (B, cin, Mp) -> (B, cout, Mp).
-    out_mul (B, cout, Mp) triggers the convT GELU' epilogue."""
+             out_dtype, want_act: bool = False):
+    """One channels-first conv layer: x (B, cin, Mp) -> masked z (B, cout,
+    Mp), or (z, gelu(z)) when want_act. out_mul (B, cout, Mp) triggers the
+    convT GELU' epilogue."""
     b = x.shape[0]
     cfg = _exec_cfg(plan, layer, jnp.dtype(x.dtype).itemsize, "fwd")
     xg = _guard(x, plan, layer, cfg)
     wm = _kk_to_op(kk, layer, cfg.mode)
     nt = plan.mp // cfg.tm
+    mask = border_mask(plan, out_dtype).reshape(1, plan.mp)
     kern = partial(_fwd_kernel, shifts=plan.shifts(layer),
                    guard=plan.guard(layer), span=cfg.span(plan, layer),
                    tm=cfg.tm, n_tiles=nt, mode=cfg.mode, layer=layer,
@@ -451,32 +455,49 @@ def _conv_cf(x, kk, bias, out_mul, plan: TailPlan, layer: TailLayer,
     blk3 = lambda c: pl.BlockSpec(
         (1, c, cfg.tm), lambda l: (l // nt, 0, l % nt),
         memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((1, cfg.tm), lambda l: (0, l % nt),
+                             memory_space=pltpu.VMEM)
     in_specs, args = [x_spec, w_spec], [xg, wm]
-    # assemble optional operands with explicit None routing
-    if bias is not None and out_mul is not None:
-        k2 = lambda x, w, bb, mm, o, xv, p, s: kern(x, w, bb, mm, o, xv, p, s)
-        in_specs += [pl.BlockSpec((layer.cout, 1), lambda l: (0, 0),
-                                  memory_space=pltpu.VMEM), blk3(layer.cout)]
-        args += [bias, out_mul]
-    elif bias is not None:
-        k2 = lambda x, w, bb, o, xv, p, s: kern(x, w, bb, None, o, xv, p, s)
-        in_specs += [pl.BlockSpec((layer.cout, 1), lambda l: (0, 0),
-                                  memory_space=pltpu.VMEM)]
-        args += [bias]
-    elif out_mul is not None:
-        k2 = lambda x, w, mm, o, xv, p, s: kern(x, w, None, mm, o, xv, p, s)
-        in_specs += [blk3(layer.cout)]
-        args += [out_mul]
-    else:
-        k2 = lambda x, w, o, xv, p, s: kern(x, w, None, None, o, xv, p, s)
-    return pl.pallas_call(
-        k2, grid=grid, in_specs=in_specs, out_specs=blk3(layer.cout),
-        out_shape=jax.ShapeDtypeStruct((b, layer.cout, plan.mp), out_dtype),
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((layer.cout, 1), lambda l: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(bias)
+    in_specs.append(mask_spec)
+    args.append(mask)
+    if out_mul is not None:
+        in_specs.append(blk3(layer.cout))
+        args.append(out_mul)
+
+    def k2(*refs):
+        ins = list(refs[:len(args)])
+        rest = list(refs[len(args):])
+        x_r, w_r = ins[0], ins[1]
+        i = 2
+        b_r = ins[i] if bias is not None else None
+        i += bias is not None
+        mk_r = ins[i]
+        i += 1
+        m_r = ins[i] if out_mul is not None else None
+        if want_act:
+            z_r, y_r = rest[0], rest[1]
+            scr = rest[2:]
+        else:
+            z_r, y_r = rest[0], None
+            scr = rest[1:]
+        kern(x_r, w_r, b_r, mk_r, m_r, z_r, y_r, *scr)
+
+    oshape = jax.ShapeDtypeStruct((b, layer.cout, plan.mp), out_dtype)
+    out = pl.pallas_call(
+        k2, grid=grid, in_specs=in_specs,
+        out_specs=(blk3(layer.cout), blk3(layer.cout)) if want_act
+        else blk3(layer.cout),
+        out_shape=(oshape, oshape) if want_act else oshape,
         scratch_shapes=_scratch(plan, layer, cfg, xg.dtype),
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
     )(*args)
+    return out
 
 
 def _conv_cf_dw(x, g, plan: TailPlan, layer: TailLayer):
@@ -520,12 +541,11 @@ def _conv_cf_dw(x, g, plan: TailPlan, layer: TailLayer):
 # jnp reference implementation (test oracle + non-TPU fallback path)
 # --------------------------------------------------------------------------
 def _conv_cf_jnp(x, kk, bias, out_mul, plan: TailPlan, layer: TailLayer,
-                 out_dtype):
+                 out_dtype, want_act: bool = False):
     shifts = plan.shifts(layer)
     g = plan.guard(layer)
     wm = _kk_to_op(kk, layer, "taps")
-    xg = jnp.pad(x, ((0, 0), (0, 0), (g, g)))
-    xt = _gelu(xg) if layer.gelu_in else xg
+    xt = jnp.pad(x, ((0, 0), (0, 0), (g, g)))
     pats = jnp.stack([xt[:, :, g + s: g + s + plan.mp] for s in shifts],
                      axis=1)                       # (B, taps, cin, Mp)
     acc = jnp.einsum("toc,btcm->bom", wm, pats,
@@ -534,22 +554,30 @@ def _conv_cf_jnp(x, kk, bias, out_mul, plan: TailPlan, layer: TailLayer,
         acc = acc + bias.astype(jnp.float32)[None]
     if out_mul is not None:
         acc = acc * _gelu_grad(out_mul)
-    return acc.astype(out_dtype)
+    acc = acc * border_mask(plan, jnp.float32)
+    z = acc.astype(out_dtype)
+    if want_act:
+        return z, _gelu(acc).astype(out_dtype)
+    return z
 
 
 # --------------------------------------------------------------------------
 # Fused tail apply with custom VJP (primal weights: canonical padded kks)
 # --------------------------------------------------------------------------
 def _tail_fwd_impl(plan: TailPlan, conv, x_cf, kks, biases):
-    mask = border_mask(plan, x_cf.dtype)
     h = x_cf
     residuals = [x_cf]
     for li, layer in enumerate(plan.layers):
-        z = conv(h, kks[li], biases[li], None, plan, layer, x_cf.dtype)
-        z = z * mask
+        want = (li < len(plan.layers) - 1
+                and plan.layers[li + 1].gelu_in)
+        out = conv(h, kks[li], biases[li], None, plan, layer, x_cf.dtype,
+                   want_act=want)
+        if want:
+            z, h = out           # pre-activation residual + activated input
+        else:
+            z = h = out
         if li < len(plan.layers) - 1:
             residuals.append(z)
-        h = z
     return h, residuals
 
 
@@ -580,14 +608,14 @@ def _tail_apply_bwd(plan, res, g_out):
     for li in range(len(plan.layers) - 1, -1, -1):
         layer = plan.layers[li]
         x_in = residuals[li]
-        dkk, db = _conv_cf_dw(x_in, g, plan, layer)
+        act_x = _gelu(x_in) if layer.gelu_in else x_in
+        dkk, db = _conv_cf_dw(act_x, g, plan, layer)
         dkks[li] = dkk.astype(kks[li].dtype)
         dbs[li] = (db.astype(biases[li].dtype)
                    if biases[li] is not None else None)
         out_mul = x_in if layer.gelu_in else None
         g = _conv_cf(g, _kk_transpose(kks[li]), None, out_mul, plan,
                      layer.transposed(), g.dtype)
-        g = g * mask
     return g, tuple(dkks), tuple(dbs)
 
 
@@ -704,14 +732,29 @@ def resolve_impl(fused_tail: str) -> str | None:
     raise ValueError(f"fused_tail={fused_tail!r} (use auto|pallas|jnp|off)")
 
 
+def _mxu_cast(x_cf, kks, bms, out_dtype):
+    """Match XLA's default-precision conv semantics: on TPU an fp32 conv
+    already runs single-pass bf16 MXU with fp32 accumulation, while an
+    in-kernel fp32 jnp.dot runs the slow multi-pass decomposition. Cast the
+    matmul operands to bf16 (accumulation stays fp32 via
+    preferred_element_type); the caller casts the result back."""
+    if out_dtype != jnp.float32 or jax.default_backend() != "tpu":
+        return x_cf, kks, bms, out_dtype
+    cast = lambda t: None if t is None else t.astype(jnp.bfloat16)
+    return (cast(x_cf), tuple(cast(k) for k in kks),
+            tuple(cast(bm) for bm in bms), jnp.bfloat16)
+
+
 def run_fused_tail(x, blocks, head, impl: str = "pallas", tm: int = 0):
     """Execute the tail on NHWC input x at the tail-entry resolution.
     Returns (packed head output NHWC (B, h, w, ch_packed), f_final)."""
     h, w = int(x.shape[1]), int(x.shape[2])
     plan, kks, bms, f, ch = plan_and_pack(h, w, blocks, head, tm=tm)
     fn = tail_apply if impl == "pallas" else tail_apply_jnp
-    z = fn(plan, nhwc_to_cf(x, plan), kks, bms)
-    return cf_to_nhwc(z, plan, ch), f
+    dt = x.dtype
+    x_cf, kks, bms, _ = _mxu_cast(nhwc_to_cf(x, plan), kks, bms, x.dtype)
+    z = fn(plan, x_cf, kks, bms)
+    return cf_to_nhwc(z, plan, ch).astype(dt), f
 
 
 def run_fused_tail_cf(x, blocks, head, impl: str = "pallas", tm: int = 0):
@@ -723,8 +766,10 @@ def run_fused_tail_cf(x, blocks, head, impl: str = "pallas", tm: int = 0):
     h, w = int(x.shape[1]), int(x.shape[2])
     plan, kks, bms, f, ch = plan_and_pack(h, w, blocks, head, tm=tm)
     fn = tail_apply if impl == "pallas" else tail_apply_jnp
-    z = fn(plan, nhwc_to_cf(x, plan), kks, bms)
-    return z, plan, ch, f
+    dt = x.dtype
+    x_cf, kks, bms, _ = _mxu_cast(nhwc_to_cf(x, plan), kks, bms, x.dtype)
+    z = fn(plan, x_cf, kks, bms)
+    return z.astype(dt), plan, ch, f
 
 
 def pack_targets(frames, plan: TailPlan, f: int):

@@ -82,10 +82,9 @@ def bench_calib(overrides, tag, arch="hnerv", iters=264, batch=2):
 if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     if what in ("hnerv", "all"):
-        bench_decode("hnerv", [("packed(auto)", {}), ("unpacked", {"packed_tail": "off"})])
+        bench_decode("hnerv", [("fused(auto)", {}), ("fused_off", {"fused_tail": "off"}), ("unpacked", {"packed_tail": "off"})])
     if what in ("nerv", "all"):
-        bench_decode("nerv", [("packed(auto)", {}), ("packed(t=3)", {"packed_tail": 3}),
-                              ("unpacked", {"packed_tail": "off"})])
+        bench_decode("nerv", [("fused(auto)", {}), ("fused_off", {"fused_tail": "off"})])
     if what in ("calib", "all"):
         bench_calib({}, "packed(auto)")
         bench_calib({"packed_tail": "off"}, "unpacked")
