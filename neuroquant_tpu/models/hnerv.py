@@ -144,13 +144,15 @@ class HNeRV(nn.Module):
             x = pixel_shuffle(x, (c.fc_h, c.fc_w))
             impl = self._fused_impl()
             if impl is not None:
-                from neuroquant_tpu.ops.tail_fused import run_fused_tail
+                from neuroquant_tpu.ops.tail_fused import run_fused_tail_frames
 
                 for j in range(self.pack_start):
                     x = self.blocks[j](x)
                 blocks, head = self._tail_params(x)
-                y, f = run_fused_tail(x, blocks, head, impl=impl)
-                return depth_to_space(out_img(y, c.out_bias), f)
+                # tail + out_img + depth-to-space in one pass (the unpack
+                # runs as a Pallas kernel, not an XLA relayout copy)
+                return run_fused_tail_frames(x, blocks, head, c.out_bias,
+                                             impl=impl)
             f, perm = 1, None
             for j, blk in enumerate(self.blocks):
                 if j < self.pack_start:

@@ -217,24 +217,26 @@ def depth_to_space(x, r: int, perm: np.ndarray | None = None):
 
 
 def pack_conv_kernel(w_hwio, r: int, in_perm: np.ndarray | None = None,
-                     out_perm: np.ndarray | None = None):
+                     out_perm: np.ndarray | None = None, xp=jnp):
     """Repack an odd-k stride-1 conv kernel (k, k, Cin, Cout) into the
     (kp, kp, r^2*Cin, r^2*Cout) kernel acting on r-packed tensors.
 
     `in_perm` / `out_perm`: subpos-major group layouts of the packed input /
     output (see module docstring). Pure gather — differentiable w.r.t. w.
-    """
+    `xp`: array namespace — pass `np` to pack a concrete (numpy) kernel at
+    plan time without entering a jax trace (tail_fused sparse-structure
+    derivation)."""
     k = int(w_hwio.shape[0])
     assert w_hwio.shape[1] == k and k % 2 == 1, w_hwio.shape
     cin, cout = int(w_hwio.shape[2]), int(w_hwio.shape[3])
     m = _axis_map(k, r)                       # (kp, r, r) of dy | k
     kp = m.shape[0]
-    wp = jnp.pad(w_hwio, ((0, 1), (0, 1), (0, 0), (0, 0)))  # zero sentinel
-    idx_y = jnp.asarray(m)                    # (kp, a, i)
+    wp = xp.pad(w_hwio, ((0, 1), (0, 1), (0, 0), (0, 0)))  # zero sentinel
+    idx_y = xp.asarray(m)                     # (kp, a, i)
     idx_x = idx_y                             # x-axis map identical by symmetry
     # K[(py, a, i), (px, b, j), ci, co] = wp[dy, dx, ci, co]
     kk = wp[idx_y]                            # (kp, a, i, k+1, cin, cout)
-    kk = jnp.take(kk, idx_x, axis=3)          # (kp, a, i, kp, b, j, cin, cout)
+    kk = xp.take(kk, idx_x, axis=3)           # (kp, a, i, kp, b, j, cin, cout)
     kk = kk.transpose(0, 3, 1, 4, 6, 2, 5, 7)  # (py, px, a, b, cin, i, j, cout)
     kk = kk.reshape(kp, kp, r * r, cin, r * r, cout)
     if in_perm is not None:
@@ -242,6 +244,38 @@ def pack_conv_kernel(w_hwio, r: int, in_perm: np.ndarray | None = None,
     if out_perm is not None:
         kk = kk[:, :, :, :, np.argsort(np.asarray(out_perm)), :]
     return kk.reshape(kp, kp, r * r * cin, r * r * cout)
+
+
+@lru_cache(maxsize=128)
+def packed_sparse_taps(k: int, r: int, in_perm_key: tuple | None):
+    """The zero-structure of a packed kernel, per output subposition group.
+
+    A packed conv kernel (pack_conv_kernel) is block-sparse: output group q
+    receives exactly k^2 nonzero (cin_o, cout_o) blocks, one per original
+    tap. Returns (qtaps_fwd, qtaps_t): for the kernel and its convT
+    (tap-reversed, channel-transposed), each a tuple over q of k^2 entries
+    (py, px, gin) — packed tap position and input group index — ordered by
+    the ORIGINAL tap index dy*k+dx, so every q shares one (cout_o,
+    k^2*cin_o) weight operand (tail_fused 'qpatches' execution mode)."""
+    in_perm = np.asarray(in_perm_key, np.int64) if in_perm_key is not None \
+        else None
+    marker = np.arange(1.0, k * k + 1).reshape(k, k, 1, 1)
+    kkm = pack_conv_kernel(marker, r, in_perm=in_perm, xp=np)
+    kkm_t = kkm[::-1, ::-1].transpose(0, 1, 3, 2)
+
+    def extract(mk):
+        kp, _, f2i, f2o = mk.shape
+        out = []
+        for q in range(f2o):
+            taps = sorted(
+                (int(round(mk[py, px, gin, q])) - 1, py, px, gin)
+                for py in range(kp) for px in range(kp) for gin in range(f2i)
+                if round(mk[py, px, gin, q]) != 0)
+            assert len(taps) == k * k, (k, r, q, len(taps))
+            out.append(tuple((py, px, gin) for _, py, px, gin in taps))
+        return tuple(out)
+
+    return extract(kkm), extract(kkm_t)
 
 
 def packed_conv(x, w_hwio, bias, r: int, in_perm=None, out_perm=None):

@@ -113,6 +113,12 @@ class TailLayer:
     side: int           # packed kernel size kp (taps per axis)
     off: int            # left tap offset offp (packed_kernel_geometry)
     gelu_in: bool       # input is a pre-activation -> apply GELU in-kernel
+    # zero-structure of the packed kernel for layers packed with f >= 2
+    # (packed_decode.packed_sparse_taps): (k_orig, cin_o, cout_o, qtaps),
+    # for this kernel and its convT — enables the 'qpatches' execution mode
+    # that skips the f^2 dense-packing flop waste
+    sparse: tuple | None = None
+    sparse_t: tuple | None = None
 
     @property
     def taps(self) -> int:
@@ -126,7 +132,8 @@ class TailLayer:
         """Geometry of the convT (dx) pass: channels swapped, tap offset
         mirrored (tap reversal <=> negated shifts)."""
         return TailLayer(cin=self.cout, cout=self.cin, side=self.side,
-                         off=self.side - 1 - self.off, gelu_in=False)
+                         off=self.side - 1 - self.off, gelu_in=False,
+                         sparse=self.sparse_t, sparse_t=self.sparse)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -155,6 +162,15 @@ class TailPlan:
         return tuple((ty - layer.off) * self.wp + (tx - layer.off)
                      for ty in range(layer.side) for tx in range(layer.side))
 
+    def qshifts(self, layer: TailLayer) -> Tuple[Tuple[Tuple[int, int], ...],
+                                                 ...]:
+        """Per output group q: k^2 (shift, gin) pairs for 'qpatches'."""
+        _, _, _, qtaps = layer.sparse
+        return tuple(
+            tuple(((py - layer.off) * self.wp + (px - layer.off), gin)
+                  for (py, px, gin) in taps)
+            for taps in qtaps)
+
     def guard(self, layer: TailLayer) -> int:
         s = self.shifts(layer)
         return max(-min(s), max(s))
@@ -172,15 +188,16 @@ class ExecCfg:
         return _r128(self.tm + 2 * plan.guard(layer))
 
 
-_VMEM_BUDGET = 8 * 1024 * 1024
+_VMEM_BUDGET = 9 * 1024 * 1024
 
 
 @lru_cache(maxsize=512)
 def _exec_cfg(plan: TailPlan, layer: TailLayer, itemsize: int,
               kind: str) -> ExecCfg:
-    """Pick (mode, tm) for a fwd/convT ('fwd') or weight-gradient ('dw')
-    pallas call: padded-MXU-cost model over modes, largest tile that fits
-    the VMEM budget, a mild penalty for small tiles (per-tile overheads)."""
+    """Pick (mode, tm) for a fwd/convT pallas call with one ('fwd1') or two
+    ('fwd2') output tensors, or a weight-gradient one ('dw'): padded-MXU-cost
+    model over modes, largest tile that fits the VMEM budget, a mild penalty
+    for small tiles (per-tile overheads)."""
     taps, cin8, cout8 = layer.taps, layer.cin, layer.cout
     g = plan.guard(layer)
 
@@ -188,25 +205,43 @@ def _exec_cfg(plan: TailPlan, layer: TailLayer, itemsize: int,
         # stationary-tile weight loads amortize over n streamed rows
         return (n + 128) / n
 
+    sp = layer.sparse
+    if sp is not None:
+        k_o, cin_o, cout_o, qtaps = sp
+        f2, k2cin = len(qtaps), k_o * k_o * cin_o
+
     def vmem(mode, tm):
         span = _r128(tm + 2 * g)
         v = 2 * cin8 * span * itemsize          # double-buffered input
-        v += taps * cin8 * cout8 * itemsize     # resident weights
+        v += (k2cin * cout_o if mode == "qpatches"
+              else taps * cin8 * cout8) * itemsize   # resident weights
         if kind == "dw":
             v += 2 * cout8 * tm * itemsize      # g tiles (double-buffered)
-            v += (cout8 * layer.k_dim if mode == "patches"
+            v += (cout_o * k2cin if mode == "qpatches"
+                  else cout8 * layer.k_dim if mode == "patches"
                   else taps * cout8 * cin8) * 4   # accumulated dW
         else:
-            v += 4 * cout8 * tm * itemsize      # z + y output tiles (dbuf)
-            v += 2 * cout8 * tm * 4             # fp32 accumulator + epilogue
+            n_out = 2 if kind == "fwd2" else 1  # z / gelu(z) output tiles
+            v += 2 * n_out * cout8 * tm * itemsize   # outputs (dbuf)
+            # fp32 accumulator + epilogue; qpatches assembles group-by-group
+            # (one live concat result), so only one accumulator-sized buffer
+            v += (1 if mode == "qpatches" else 2) * cout8 * tm * 4
             if mode == "kn2row":
                 v += taps * cout8 * span * 4    # fp32 pre-shift product
         if mode == "patches":
             v += taps * cin8 * tm * itemsize
+        elif mode == "qpatches":
+            v += k2cin * tm * itemsize
         return v
 
     def cost(mode, tm):
-        if mode == "patches":
+        if mode == "qpatches":
+            # f^2 matmuls sharing one stationary (cout_o, k^2 cin_o) weight:
+            # skips the dense packed kernel's zero blocks (f^2 flop waste).
+            # The pipeline-fill penalty amortizes across the f^2 back-to-back
+            # same-weight matmuls, hence rows(cout_o * f^2).
+            c = f2 * _r128(k2cin) * _r8(cout_o) * rows(_r8(cout_o) * f2)
+        elif mode == "patches":
             c = _r128(taps * cin8) * cout8 * rows(cout8)
         elif mode == "taps":
             c = taps * _r128(cin8) * cout8 * rows(cout8)
@@ -228,6 +263,11 @@ def _exec_cfg(plan: TailPlan, layer: TailLayer, itemsize: int,
 
     modes = ("patches", "taps") if kind == "dw" else \
         ("patches", "taps", "kn2row")
+    if sp is not None and _r8(cout_o) >= 16:
+        # tiny-row groups (e.g. the 3-channel head) starve the MXU and blow
+        # Mosaic's scoped-vmem stack through the f^2-way concat of sub-8-row
+        # matmul results — qpatches is only offered with real row counts
+        modes = modes + ("qpatches",)
     best = None
     for mode in modes:
         tm = plan.tm
@@ -297,6 +337,14 @@ def _guard(x, plan: TailPlan, layer: TailLayer, cfg: ExecCfg):
 # --------------------------------------------------------------------------
 def _kk_to_op(kk, layer: TailLayer, mode: str):
     side, _, cin, cout = kk.shape
+    if mode == "qpatches":
+        # gather the shared original-kernel operand (cout_o, k^2*cin_o) from
+        # group q=0's nonzero blocks (every q holds the same values) —
+        # a static gather, differentiable back to the canonical kernel
+        k_o, cin_o, cout_o, qtaps = layer.sparse
+        blocks = [kk[py, px, gin * cin_o:(gin + 1) * cin_o, :cout_o]
+                  for (py, px, gin) in qtaps[0]]
+        return jnp.transpose(jnp.concatenate(blocks, axis=0), (1, 0))
     if mode == "patches":
         # K index = (ty*side + tx) * cin + ci
         return kk.transpose(3, 0, 1, 2).reshape(cout, layer.k_dim)
@@ -313,6 +361,19 @@ def _kk_transpose(kk):
 def _op_to_kk_grad(dw, layer: TailLayer, mode: str):
     """Map a dW in operand layout back to canonical (side,side,cin,cout)."""
     side = layer.side
+    if mode == "qpatches":
+        # dw is the ORIGINAL-kernel gradient (cout_o, k^2 cin_o) summed over
+        # groups; scatter it at group q=0's canonical positions with zeros
+        # elsewhere. Correct because the only canonical-dkk consumer is the
+        # pack-gather VJP, which sums dkk over every position holding a given
+        # original tap — the per-q split of that sum is immaterial.
+        k_o, cin_o, cout_o, qtaps = layer.sparse
+        dkk = jnp.zeros((side, side, layer.cin, layer.cout), dw.dtype)
+        for t, (py, px, gin) in enumerate(qtaps[0]):
+            blk = dw[:, t * cin_o:(t + 1) * cin_o]        # (cout_o, cin_o)
+            dkk = dkk.at[py, px, gin * cin_o:(gin + 1) * cin_o,
+                         :cout_o].set(jnp.transpose(blk, (1, 0)))
+        return dkk
     if mode == "patches":
         dw = dw.reshape(layer.cout, side, side, layer.cin)
         return dw.transpose(1, 2, 3, 0)
@@ -354,6 +415,26 @@ def _accumulate(xt, w_ref, patches, *, shifts, guard, tm, mode,
                 layer: TailLayer):
     """The conv tile compute: (cout, tm) fp32 accumulator from the guarded
     VMEM tile xt (cin, span) and resident weights."""
+    if mode == "qpatches":
+        # sparse-aware packed conv: per output subposition group q, one
+        # (cout_o, k^2 cin_o) @ (k^2 cin_o, tm) matmul over the k^2 nonzero
+        # (shift, input-group) blocks — skips the dense packed kernel's f^2
+        # zero-block flop waste (the same weight operand serves every q)
+        k_o, cin_o, cout_o, qtaps = layer.sparse
+        accs = []
+        for qsh in shifts:                     # plan.qshifts(layer)
+            for t, (s, gin) in enumerate(qsh):
+                patches[t * cin_o:(t + 1) * cin_o, :] = (
+                    xt[gin * cin_o:(gin + 1) * cin_o,
+                       guard + s: guard + s + tm])
+            accs.append(jnp.dot(w_ref[...], patches[...],
+                                preferred_element_type=jnp.float32))
+        acc = jnp.concatenate(accs, axis=0)    # (f^2 * cout_o, tm)
+        if acc.shape[0] < layer.cout:
+            acc = jnp.concatenate(
+                [acc, jnp.zeros((layer.cout - acc.shape[0], tm),
+                                jnp.float32)], axis=0)
+        return acc
     if mode == "patches":
         for t, s in enumerate(shifts):
             patches[t * layer.cin:(t + 1) * layer.cin, :] = (
@@ -387,9 +468,12 @@ def _fwd_kernel(x_hbm, w_ref, b_ref, mask_ref, m_ref, z_ref, y_ref,
         acc = acc * _gelu_grad(m_ref[0])
     # border re-zeroing ('same' zero-padding semantics) and the next layer's
     # activation are kernel epilogues: one evaluation per position, no extra
-    # XLA elementwise passes over the activations
+    # XLA elementwise passes over the activations. z (pre-activation) is only
+    # emitted when a VJP needs the residual; pure decode writes gelu(z) alone,
+    # halving the output HBM traffic of the fat layers.
     acc = acc * mask_ref[0].astype(jnp.float32)
-    z_ref[0] = acc.astype(out_dtype)
+    if z_ref is not None:
+        z_ref[0] = acc.astype(out_dtype)
     if y_ref is not None:
         y_ref[0] = _gelu(acc).astype(out_dtype)
 
@@ -405,7 +489,20 @@ def _dw_kernel(x_hbm, g_ref, dw_ref, db_ref, x_vmem, patches, sem, *,
 
     g = g_ref[0]
     contract = (((1,), (1,)), ((), ()))
-    if mode == "patches":
+    if mode == "qpatches":
+        # accumulate the ORIGINAL-kernel gradient (cout_o, k^2 cin_o): per
+        # group q, g's q-rows x that q's patches; summed over q and tiles
+        # (the canonical-dkk scatter happens in _op_to_kk_grad)
+        k_o, cin_o, cout_o, _ = layer.sparse
+        for q, qsh in enumerate(shifts):
+            for t, (s, gin) in enumerate(qsh):
+                patches[t * cin_o:(t + 1) * cin_o, :] = (
+                    xt[gin * cin_o:(gin + 1) * cin_o,
+                       guard + s: guard + s + tm])
+            dw_ref[...] += jax.lax.dot_general(
+                g[q * cout_o:(q + 1) * cout_o], patches[...], contract,
+                preferred_element_type=jnp.float32)
+    elif mode == "patches":
         for t, s in enumerate(shifts):
             patches[t * layer.cin:(t + 1) * layer.cin, :] = (
                 xt[:, guard + s: guard + s + tm])
@@ -425,26 +522,36 @@ def _interpret() -> bool:
 
 def _scratch(plan, layer, cfg, dtype):
     span = cfg.span(plan, layer)
+    if cfg.mode == "qpatches":
+        k_o, cin_o, _, _ = layer.sparse
+        pat = pltpu.VMEM((k_o * k_o * cin_o, cfg.tm), dtype)
+    elif cfg.mode == "patches":
+        pat = pltpu.VMEM((layer.k_dim, cfg.tm), dtype)
+    else:
+        pat = pltpu.VMEM((8, 128), dtype)                     # unused stub
     return [
         pltpu.VMEM((2, layer.cin, span), dtype),
-        pltpu.VMEM((layer.k_dim, cfg.tm), dtype) if cfg.mode == "patches"
-        else pltpu.VMEM((8, 128), dtype),                     # unused stub
+        pat,
         pltpu.SemaphoreType.DMA((2,)),
     ]
 
 
 def _conv_cf(x, kk, bias, out_mul, plan: TailPlan, layer: TailLayer,
-             out_dtype, want_act: bool = False):
-    """One channels-first conv layer: x (B, cin, Mp) -> masked z (B, cout,
-    Mp), or (z, gelu(z)) when want_act. out_mul (B, cout, Mp) triggers the
-    convT GELU' epilogue."""
+             out_dtype, emit: str = "z"):
+    """One channels-first conv layer: x (B, cin, Mp) -> masked pre-activation
+    'z' (B, cout, Mp), its activation 'y' = gelu(z), or the pair 'zy' (the
+    VJP-fwd path, which needs the residual). out_mul (B, cout, Mp) triggers
+    the convT GELU' epilogue."""
     b = x.shape[0]
-    cfg = _exec_cfg(plan, layer, jnp.dtype(x.dtype).itemsize, "fwd")
+    cfg = _exec_cfg(plan, layer, jnp.dtype(x.dtype).itemsize,
+                    "fwd2" if emit == "zy" else "fwd1")
     xg = _guard(x, plan, layer, cfg)
     wm = _kk_to_op(kk, layer, cfg.mode)
     nt = plan.mp // cfg.tm
     mask = border_mask(plan, out_dtype).reshape(1, plan.mp)
-    kern = partial(_fwd_kernel, shifts=plan.shifts(layer),
+    kern = partial(_fwd_kernel,
+                   shifts=(plan.qshifts(layer) if cfg.mode == "qpatches"
+                           else plan.shifts(layer)),
                    guard=plan.guard(layer), span=cfg.span(plan, layer),
                    tm=cfg.tm, n_tiles=nt, mode=cfg.mode, layer=layer,
                    out_dtype=out_dtype)
@@ -467,6 +574,7 @@ def _conv_cf(x, kk, bias, out_mul, plan: TailPlan, layer: TailLayer,
     if out_mul is not None:
         in_specs.append(blk3(layer.cout))
         args.append(out_mul)
+    n_out = 2 if emit == "zy" else 1
 
     def k2(*refs):
         ins = list(refs[:len(args)])
@@ -478,20 +586,21 @@ def _conv_cf(x, kk, bias, out_mul, plan: TailPlan, layer: TailLayer,
         mk_r = ins[i]
         i += 1
         m_r = ins[i] if out_mul is not None else None
-        if want_act:
-            z_r, y_r = rest[0], rest[1]
-            scr = rest[2:]
+        outs, scr = rest[:n_out], rest[n_out:]
+        if emit == "zy":
+            z_r, y_r = outs
+        elif emit == "y":
+            z_r, y_r = None, outs[0]
         else:
-            z_r, y_r = rest[0], None
-            scr = rest[1:]
+            z_r, y_r = outs[0], None
         kern(x_r, w_r, b_r, mk_r, m_r, z_r, y_r, *scr)
 
     oshape = jax.ShapeDtypeStruct((b, layer.cout, plan.mp), out_dtype)
     out = pl.pallas_call(
         k2, grid=grid, in_specs=in_specs,
-        out_specs=(blk3(layer.cout), blk3(layer.cout)) if want_act
+        out_specs=(blk3(layer.cout),) * n_out if n_out > 1
         else blk3(layer.cout),
-        out_shape=(oshape, oshape) if want_act else oshape,
+        out_shape=(oshape,) * n_out if n_out > 1 else oshape,
         scratch_shapes=_scratch(plan, layer, cfg, xg.dtype),
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
@@ -507,7 +616,12 @@ def _conv_cf_dw(x, g, plan: TailPlan, layer: TailLayer):
     cfg = _exec_cfg(plan, layer, jnp.dtype(x.dtype).itemsize, "dw")
     xg = _guard(x, plan, layer, cfg)
     nt = plan.mp // cfg.tm
-    if cfg.mode == "patches":
+    if cfg.mode == "qpatches":
+        k_o, cin_o, cout_o, _ = layer.sparse
+        dw_shape = (cout_o, k_o * k_o * cin_o)
+        dw_spec = pl.BlockSpec(dw_shape, lambda l: (0, 0),
+                               memory_space=pltpu.VMEM)
+    elif cfg.mode == "patches":
         dw_shape = (layer.cout, layer.k_dim)
         dw_spec = pl.BlockSpec(dw_shape, lambda l: (0, 0),
                                memory_space=pltpu.VMEM)
@@ -515,7 +629,9 @@ def _conv_cf_dw(x, g, plan: TailPlan, layer: TailLayer):
         dw_shape = (layer.taps, layer.cout, layer.cin)
         dw_spec = pl.BlockSpec(dw_shape, lambda l: (0, 0, 0),
                                memory_space=pltpu.VMEM)
-    kern = partial(_dw_kernel, shifts=plan.shifts(layer),
+    kern = partial(_dw_kernel,
+                   shifts=(plan.qshifts(layer) if cfg.mode == "qpatches"
+                           else plan.shifts(layer)),
                    guard=plan.guard(layer), span=cfg.span(plan, layer),
                    tm=cfg.tm, n_tiles=nt, mode=cfg.mode, layer=layer)
     dw, db = pl.pallas_call(
@@ -541,7 +657,7 @@ def _conv_cf_dw(x, g, plan: TailPlan, layer: TailLayer):
 # jnp reference implementation (test oracle + non-TPU fallback path)
 # --------------------------------------------------------------------------
 def _conv_cf_jnp(x, kk, bias, out_mul, plan: TailPlan, layer: TailLayer,
-                 out_dtype, want_act: bool = False):
+                 out_dtype, emit: str = "z"):
     shifts = plan.shifts(layer)
     g = plan.guard(layer)
     wm = _kk_to_op(kk, layer, "taps")
@@ -555,8 +671,10 @@ def _conv_cf_jnp(x, kk, bias, out_mul, plan: TailPlan, layer: TailLayer,
     if out_mul is not None:
         acc = acc * _gelu_grad(out_mul)
     acc = acc * border_mask(plan, jnp.float32)
+    if emit == "y":
+        return _gelu(acc).astype(out_dtype)
     z = acc.astype(out_dtype)
-    if want_act:
+    if emit == "zy":
         return z, _gelu(acc).astype(out_dtype)
     return z
 
@@ -564,19 +682,27 @@ def _conv_cf_jnp(x, kk, bias, out_mul, plan: TailPlan, layer: TailLayer,
 # --------------------------------------------------------------------------
 # Fused tail apply with custom VJP (primal weights: canonical padded kks)
 # --------------------------------------------------------------------------
-def _tail_fwd_impl(plan: TailPlan, conv, x_cf, kks, biases):
+def _tail_fwd_impl(plan: TailPlan, conv, x_cf, kks, biases,
+                   keep_residuals: bool = True):
+    """keep_residuals=True (the VJP-fwd path) stores each layer's
+    pre-activation z; the primal/decode path emits only what the next layer
+    consumes (gelu(z) in-kernel), halving output HBM traffic."""
     h = x_cf
     residuals = [x_cf]
     for li, layer in enumerate(plan.layers):
-        want = (li < len(plan.layers) - 1
-                and plan.layers[li + 1].gelu_in)
+        next_act = (li < len(plan.layers) - 1
+                    and plan.layers[li + 1].gelu_in)
+        if next_act:
+            emit = "zy" if keep_residuals else "y"
+        else:
+            emit = "z"
         out = conv(h, kks[li], biases[li], None, plan, layer, x_cf.dtype,
-                   want_act=want)
-        if want:
+                   emit=emit)
+        if emit == "zy":
             z, h = out           # pre-activation residual + activated input
         else:
             z = h = out
-        if li < len(plan.layers) - 1:
+        if keep_residuals and li < len(plan.layers) - 1:
             residuals.append(z)
     return h, residuals
 
@@ -590,7 +716,8 @@ def tail_apply(plan: TailPlan, x_cf, kks, biases):
     and biases (cout8, 1) from :func:`plan_and_pack`. Layer 0 consumes x_cf
     as-is (post-activation input); layers 1..n apply GELU in-kernel (their
     inputs are stored pre-activation)."""
-    out, _ = _tail_fwd_impl(plan, _conv_cf, x_cf, tuple(kks), tuple(biases))
+    out, _ = _tail_fwd_impl(plan, _conv_cf, x_cf, tuple(kks), tuple(biases),
+                            keep_residuals=False)
     return out
 
 
@@ -627,7 +754,7 @@ def tail_apply_jnp(plan: TailPlan, x_cf, kks, biases):
     the test oracle, and the path used on non-TPU backends where the Pallas
     interpreter would be slow."""
     out, _ = _tail_fwd_impl(plan, _conv_cf_jnp, x_cf, tuple(kks),
-                            tuple(biases))
+                            tuple(biases), keep_residuals=False)
     return out
 
 
@@ -636,12 +763,17 @@ def tail_apply_jnp(plan: TailPlan, x_cf, kks, biases):
 # --------------------------------------------------------------------------
 @lru_cache(maxsize=64)
 def _make_plan(h: int, w: int, geoms: Tuple, tm: int) -> TailPlan:
-    pad = max(max(off, side - 1 - off) for side, off, _, _ in geoms)
+    pad = max(max(off, side - 1 - off) for side, off, *_ in geoms)
     layers = []
-    for li, (side, off, cin_raw, cout_raw) in enumerate(geoms):
+    for li, (side, off, cin_raw, cout_raw, spp) in enumerate(geoms):
+        sparse = sparse_t = None
+        if spp is not None:
+            k_o, cin_o, cout_o, qt_fwd, qt_t = spp
+            sparse = (k_o, cin_o, cout_o, qt_fwd)
+            sparse_t = (k_o, cout_o, cin_o, qt_t)
         layers.append(TailLayer(
             cin=_r8(cin_raw), cout=_r8(cout_raw), side=side, off=off,
-            gelu_in=li > 0))
+            gelu_in=li > 0, sparse=sparse, sparse_t=sparse_t))
     return TailPlan(h=h, w=w, pad=pad, tm=tm, layers=tuple(layers))
 
 
@@ -665,8 +797,14 @@ def plan_and_pack(h: int, w: int, blocks, head, tm: int = 0):
     """
     from neuroquant_tpu.ops.packed_decode import (
         compose_shuffle_perm, identity_perm, pack_conv_kernel,
-        packed_kernel_geometry,
+        packed_kernel_geometry, packed_sparse_taps,
     )
+
+    def sparse_spec(k, ff, prm, cin_o, cout_o):
+        """(k, cin_o, cout_o, qtaps_fwd, qtaps_t) for an f>=2-packed layer."""
+        key = tuple(int(v) for v in prm) if prm is not None else None
+        qt_fwd, qt_t = packed_sparse_taps(int(k), int(ff), key)
+        return (int(k), int(cin_o), int(cout_o), qt_fwd, qt_t)
 
     tm = tm or _auto_tm(h, w)
     f, perm = 1, None
@@ -683,15 +821,16 @@ def plan_and_pack(h: int, w: int, blocks, head, tm: int = 0):
         if bias is not None:
             brel = bias.reshape(cout, r, r).transpose(1, 2, 0).reshape(-1)
         if f == 1:
-            kk, off = wrel, (kh - 1) // 2
+            kk, off, spp = wrel, (kh - 1) // 2, None
         else:
             kk = pack_conv_kernel(wrel, f, in_perm=perm, out_perm=None)
             _, off = packed_kernel_geometry(kh, f)
+            spp = sparse_spec(kh, f, perm, cin, cout_rr)
             if brel is not None:
                 brel = jnp.tile(brel, f * f)
         kks.append(kk)
         bbs.append(brel)
-        geoms.append((kk.shape[0], off, kk.shape[2], kk.shape[3]))
+        geoms.append((kk.shape[0], off, kk.shape[2], kk.shape[3], spp))
         perm = compose_shuffle_perm(identity_perm(f), f, r)
         f *= r
     wh, bh = head
@@ -700,7 +839,9 @@ def plan_and_pack(h: int, w: int, blocks, head, tm: int = 0):
     _, off = packed_kernel_geometry(khh, f)
     kks.append(kk)
     bbs.append(jnp.tile(bh, f * f) if bh is not None else None)
-    geoms.append((kk.shape[0], off, kk.shape[2], kk.shape[3]))
+    geoms.append((kk.shape[0], off, kk.shape[2], kk.shape[3],
+                  sparse_spec(khh, f, perm, wh.shape[2], wh.shape[3])
+                  if f > 1 else None))
 
     plan = _make_plan(h, w, tuple(geoms), tm)
     kks_p, bms = [], []
@@ -770,6 +911,114 @@ def run_fused_tail_cf(x, blocks, head, impl: str = "pallas", tm: int = 0):
     x_cf, kks, bms, _ = _mxu_cast(nhwc_to_cf(x, plan), kks, bms, x.dtype)
     z = fn(plan, x_cf, kks, bms)
     return z.astype(dt), plan, ch, f
+
+
+def _out_img(x, out_bias: str):
+    """tail_fused-local twin of models.layers.out_img (avoids an import
+    cycle; reference _layers.py:10-16)."""
+    if out_bias == "sigmoid":
+        return jax.nn.sigmoid(x)
+    if out_bias == "tanh":
+        return jnp.tanh(x) * 0.5 + 0.5
+    return x + float(out_bias)
+
+
+def _unpack_jnp(z, plan: TailPlan, f: int, ch: int, out_bias: str, dt):
+    """XLA composition the unpack kernel replaces (also its VJP oracle):
+    cf -> NHWC packed -> out_img -> depth-to-space."""
+    from neuroquant_tpu.ops.packed_decode import depth_to_space
+
+    y = cf_to_nhwc(z, plan, ch).astype(dt)
+    return depth_to_space(_out_img(y, out_bias), f)
+
+
+def _unpack_kernel(z_ref, out_ref, *, f, g, rb, w, out_bias):
+    """rb packed interior rows of the head output -> rb*f full-res output
+    rows in (x, b, c) minor order. The channels-first -> NHWC depth-to-space
+    is an in-register transpose instead of XLA's element-granularity relayout
+    copy over the full-resolution frame (the round-2 profile's single
+    hottest op). The (..., w, g) output collapses to NHWC (H, W, C) by a
+    pure row-major reshape (no lane-merging shape cast, which Mosaic cannot
+    lower)."""
+    zt = z_ref[0]                                       # (Cp, rb, w) f32
+    t = zt[:f * g].reshape(f, g, rb, w)
+    t = _out_img(t, out_bias)
+    t = jnp.transpose(t, (2, 0, 1, 3))                  # (rb, a, bc, x)
+    t = jnp.transpose(t, (0, 1, 3, 2))                  # (rb, a, x, bc)
+    out_ref[0] = t.reshape(rb * f, w, g).astype(out_ref.dtype)
+
+
+def unpack_supported(plan: TailPlan, f: int, ch: int) -> bool:
+    """The kernel's (rb*f, w, g) VMEM output block pads g to 128 lanes; bail
+    to the XLA path when that padded block cannot fit comfortably."""
+    w = plan.w
+    return 8 * f * w * 128 * 4 <= 6 * 1024 * 1024
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def unpack_frames(z, plan: TailPlan, f: int, ch: int, out_bias: str, dt):
+    """Head output z (B, Cp, Mp) channels-first -> frames (B, h*f, w*f, C)
+    with out_img applied, as one Pallas pass. Backward falls back to the VJP
+    of the XLA composition (training pays the old transpose cost only in the
+    backward; decode/eval never do)."""
+    b, cp, _ = z.shape
+    hp, wp, h, w, pad = plan.hp, plan.wp, plan.h, plan.w, plan.pad
+    c = ch // (f * f)
+    g = f * c
+    rb = 8                      # fp32 sublane tile (input converts below)
+    h8 = -(-h // rb) * rb
+    z4 = z[:, :, :hp * wp].reshape(b, cp, hp, wp)
+    zi = jax.lax.slice(z4, (0, 0, pad, pad), (b, cp, pad + h, pad + w))
+    zi = zi.astype(jnp.float32)
+    if h8 != h:
+        zi = jnp.pad(zi, ((0, 0), (0, 0), (0, h8 - h), (0, 0)))
+    nb = h8 // rb
+    out = pl.pallas_call(
+        partial(_unpack_kernel, f=f, g=g, rb=rb, w=w, out_bias=out_bias),
+        grid=(b * nb,),
+        in_specs=[pl.BlockSpec((1, cp, rb, w),
+                               lambda l, nb=nb: (l // nb, 0, l % nb, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, rb * f, w, g),
+                               lambda l, nb=nb: (l // nb, l % nb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h8 * f, w, g), dt),
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(zi)
+    if h8 != h:
+        out = out[:, :h * f]
+    return out.reshape(b, h * f, w * f, c)
+
+
+def _unpack_frames_fwd(z, plan, f, ch, out_bias, dt):
+    return unpack_frames(z, plan, f, ch, out_bias, dt), z
+
+
+def _unpack_frames_bwd(plan, f, ch, out_bias, dt, z, g_out):
+    _, vjp = jax.vjp(lambda zz: _unpack_jnp(zz, plan, f, ch, out_bias, dt), z)
+    return vjp(g_out)
+
+
+unpack_frames.defvjp(_unpack_frames_fwd, _unpack_frames_bwd)
+
+
+def run_fused_tail_frames(x, blocks, head, out_bias: str,
+                          impl: str = "pallas", tm: int = 0):
+    """Tail + out_img + depth-to-space in one device pass: NHWC input x at
+    the tail-entry resolution -> full-resolution frames (B, H, W, C).
+    Replaces the run_fused_tail -> out_img -> depth_to_space composition on
+    the decode fast path (models/{hnerv,nerv}.py)."""
+    h, w = int(x.shape[1]), int(x.shape[2])
+    plan, kks, bms, f, ch = plan_and_pack(h, w, blocks, head, tm=tm)
+    fn = tail_apply if impl == "pallas" else tail_apply_jnp
+    dt = x.dtype
+    x_cf, kks_c, bms_c, _ = _mxu_cast(nhwc_to_cf(x, plan), kks, bms, x.dtype)
+    z = fn(plan, x_cf, kks_c, bms_c)
+    if impl == "pallas" and unpack_supported(plan, f, ch):
+        return unpack_frames(z, plan, f, ch, out_bias, dt)
+    return _unpack_jnp(z, plan, f, ch, out_bias, dt)
 
 
 def pack_targets(frames, plan: TailPlan, f: int):

@@ -182,15 +182,38 @@ def model_reconstruction(model, params, spec: QuantSpec, state: Dict,
                          log_fn=logging.info, compute_dtype=None,
                          checkpoint_path: str | None = None,
                          ckpt_every_epochs: int = 25, mesh=None,
-                         epoch_hook=None, cf_pack=None):
+                         epoch_hook=None, cf_pack="auto"):
     """Returns (calibrated QuantState, mode='adaround'). After return, decode
     quantized with quantize_params(..., mode='adaround', soft=False).
 
     compute_dtype=jnp.bfloat16 runs the decode in bf16 (quant math and the
-    loss stay fp32) — ~15% faster on v5e with negligible calibration-quality
-    impact (the optimization only needs small-perturbation gradients).
+    loss stay fp32) — measured quality- and speed-neutral vs fp32 on v5e
+    (the fused tail already runs bf16 MXU operands; round-3 RESULTS).
+
+    cf_pack: "auto" (default) derives the packed channels-first loss domain
+    from (arch, model.cfg) when the fused tail applies — the NHWC loss path
+    pays a whole-dataset relayout + per-step depth-to-space inside the scan
+    (~6 ms/step at the bench shape). Pass None to force the NHWC loss, or a
+    prebuilt {"gt", "mask", "denom"} dict (methods/calibrate_network.py).
     """
     assert opt_mode == "mse", "network-wise calibration uses the mse objective"
+    if isinstance(cf_pack, str) and cf_pack == "auto":
+        cf_pack = None
+        try:
+            import dataclasses as _dc
+
+            from neuroquant_tpu.models import tail_plan_for
+            from neuroquant_tpu.ops.tail_fused import border_mask, pack_targets
+            tp = tail_plan_for(arch, _dc.asdict(model.cfg))
+            if tp is not None:
+                plan, f, _ = tp
+                cf_pack = {"gt": pack_targets(frames, plan, f),
+                           "mask": border_mask(plan),
+                           "denom": frames.shape[1] * frames.shape[2]}
+                log_fn(f"[calib] cf_loss auto: packed-domain loss "
+                       f"(f={f}, Mp={plan.mp})")
+        except Exception as e:                       # noqa: BLE001
+            log_fn(f"[calib] cf_loss auto unavailable ({e}); NHWC loss")
     rng = jax.random.PRNGKey(seed)
     steps_per_epoch = len(train_ind) // batch_size
     assert steps_per_epoch > 0, "batch_size larger than the training split"

@@ -78,12 +78,32 @@ class TestOpsEquivalence:
             scale = float(jnp.abs(a).max()) + 1e-12
             assert float(jnp.abs(a - b).max()) / scale < 1e-5
 
+    def test_gradients_qpatches(self, tail_case):
+        """Sparse-aware mode on the mid layer: fwd + dx + dw (incl. the
+        canonical-dkk scatter) must match the dense oracle's gradients."""
+        import os
+        x, ws = tail_case
+        cot = jnp.asarray(RNG.randn(B, 4 * H, 4 * W, 3), jnp.float32)
+        g_o = jax.grad(lambda a: jnp.sum(_oracle(*a) * cot))((x, *ws))
+        tf._exec_cfg.cache_clear()
+        os.environ["NQ_TAIL_MODE"] = "16x48=qpatches@128"
+        try:
+            g_f = jax.grad(lambda a: jnp.sum(
+                _fused(*a, apply_fn=tf.tail_apply) * cot))((x, *ws))
+        finally:
+            del os.environ["NQ_TAIL_MODE"]
+            tf._exec_cfg.cache_clear()
+        for a, b in zip(jax.tree_util.tree_leaves(g_o),
+                        jax.tree_util.tree_leaves(g_f)):
+            scale = float(jnp.abs(a).max()) + 1e-12
+            assert float(jnp.abs(a - b).max()) / scale < 1e-5
+
     def test_all_exec_modes_match(self, tail_case):
         """Force each kernel mode on the mid layer; outputs must agree."""
         import os
         x, ws = tail_case
         ref = _fused(x, *ws, apply_fn=tf.tail_apply_jnp)
-        for mode in ("patches", "taps", "kn2row"):
+        for mode in ("patches", "taps", "kn2row", "qpatches"):
             tf._exec_cfg.cache_clear()
             os.environ["NQ_TAIL_MODE"] = f"16x48={mode}@128"
             try:
@@ -92,6 +112,43 @@ class TestOpsEquivalence:
                 del os.environ["NQ_TAIL_MODE"]
                 tf._exec_cfg.cache_clear()
             np.testing.assert_allclose(out, ref, atol=2e-5, err_msg=mode)
+
+
+class TestUnpackFrames:
+    """The fused unpack kernel (tail + out_img + depth-to-space in one
+    device pass) against the XLA composition it replaces."""
+
+    @pytest.mark.parametrize("out_bias", ["sigmoid", "tanh", "0.5"])
+    def test_unpack_matches_xla(self, tail_case, out_bias):
+        x, (w0, b0, w1, b1, wh, bh) = tail_case
+        blocks, head = [(w0, b0, 2), (w1, b1, 2)], (wh, bh)
+        out = tf.run_fused_tail_frames(x, blocks, head, out_bias,
+                                       impl="pallas", tm=128)
+        plan, kks, bms, f, ch = tf.plan_and_pack(H, W, blocks, head, tm=128)
+        z = tf.tail_apply_jnp(plan, tf.nhwc_to_cf(x, plan), kks, bms)
+        ref = tf._unpack_jnp(z, plan, f, ch, out_bias, x.dtype)
+        assert out.shape == ref.shape == (B, 4 * H, 4 * W, 3)
+        np.testing.assert_allclose(out, ref, atol=2e-5)
+
+    def test_unpack_gradients(self, tail_case):
+        """Training differentiates through decode: the unpack custom VJP
+        (backward = VJP of the XLA composition) must match pure autodiff."""
+        x, ws = tail_case
+        cot = jnp.asarray(RNG.randn(B, 4 * H, 4 * W, 3), jnp.float32)
+
+        def loss(a, impl):
+            xx, w0, b0, w1, b1, wh, bh = a
+            out = tf.run_fused_tail_frames(
+                xx, [(w0, b0, 2), (w1, b1, 2)], (wh, bh), "sigmoid",
+                impl=impl, tm=128)
+            return jnp.sum(out * cot)
+
+        g_ref = jax.grad(lambda a: loss(a, "jnp"))((x, *ws))
+        g_out = jax.grad(lambda a: loss(a, "pallas"))((x, *ws))
+        for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                        jax.tree_util.tree_leaves(g_out)):
+            scale = float(jnp.abs(a).max()) + 1e-12
+            assert float(jnp.abs(a - b).max()) / scale < 1e-5
 
 
 def _small_cfg(extra=None):
