@@ -91,11 +91,9 @@ def _run_phase(*, model, params, spec, state, cali_data, frames, train_ind,
     # NOTE: frames/cali_data/params are explicit jit arguments, never closure
     # captures — closing over them would embed gigabytes of video as HLO
     # constants (huge trace memory + compile payloads).
-    def loss_at(tstate, frozen, params, frames, cali_data, idx, count):
+    def loss_at(tstate, frozen, params, img, inputs, count):
         st = _merge_state(tstate, frozen)
         qp = quantize_params(params, spec, st, mode=mode, soft=True)
-        img = frames[idx]
-        inputs = cali_data[idx]
         if compute_dtype is not None:
             # run the decode in reduced precision (quant math stays fp32);
             # gradients w.r.t. qstate flow through the cast
@@ -109,7 +107,7 @@ def _run_phase(*, model, params, spec, state, cali_data, frames, train_ind,
             d = diff * diff if p == 2.0 else jnp.abs(diff) ** p
             # == lp_loss(reduction='none') on the unpacked NHWC image:
             # sum over channels, mean over B*H*W (metrics.py:87-107)
-            rec = d.sum() / (idx.shape[0] * cf_denom)
+            rec = d.sum() / (img.shape[0] * cf_denom)
         else:
             pred = model.apply(qp, inputs,
                                method="decode").astype(jnp.float32)
@@ -128,24 +126,33 @@ def _run_phase(*, model, params, spec, state, cali_data, frames, train_ind,
         perm = jax.random.permutation(erng, train_ind)
         n_use = steps_per_epoch * batch_size            # drop_last=True
         batches = perm[:n_use].reshape(steps_per_epoch, batch_size)
+        # gather the epoch's GT/input batches ONCE, outside the scan: a
+        # per-step frames[idx] gather makes XLA re-chunk the whole multi-GB
+        # frame array inside the while loop (~4 ms/step at the bench shape);
+        # scanning over the pre-gathered arrays slices them for free
+        gt_ep = frames[batches]
+        in_ep = cali_data[batches]
         if mesh is not None:
             # data parallel over the frame batch: each chip decodes
             # batch_size / n_devices frames; XLA inserts the gradient psum
             from jax.sharding import NamedSharding, PartitionSpec as P
-            batches = jax.lax.with_sharding_constraint(
-                batches, NamedSharding(mesh, P(None, "data")))
+            gt_ep = jax.lax.with_sharding_constraint(
+                gt_ep, NamedSharding(mesh, P(None, "data")))
+            in_ep = jax.lax.with_sharding_constraint(
+                in_ep, NamedSharding(mesh, P(None, "data")))
 
-        def step(carry, idx):
+        def step(carry, xs):
             tstate, opt_state, count = carry
+            img, inputs = xs
             count = count + 1
             (loss, aux), grads = jax.value_and_grad(loss_at, has_aux=True)(
-                tstate, frozen, params, frames, cali_data, idx, count)
+                tstate, frozen, params, img, inputs, count)
             updates, opt_state = opt.update(grads, opt_state, tstate)
             tstate = optax.apply_updates(tstate, updates)
             return (tstate, opt_state, count), (loss, *aux)
 
         (tstate, opt_state, count), logs = jax.lax.scan(
-            step, (tstate, opt_state, count), batches)
+            step, (tstate, opt_state, count), (gt_ep, in_ep))
         return tstate, opt_state, count, logs
 
     count = jnp.asarray(count_offset, jnp.int32)
