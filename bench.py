@@ -94,9 +94,9 @@ def child(progress_path: str, batch_size: int, iters: int) -> None:
     cf_pack = None
     tp = tail_plan_for("hnerv", cfg)
     if tp is not None:
-        plan, f, _ = tp
+        plan, f, ch = tp
         cf_pack = {"gt": pack_targets(dataset.frames, plan, f),
-                   "mask": border_mask(plan),
+                   "mask": border_mask(plan, ch=ch),
                    "denom": cfg["crop_h"] * cfg["crop_w"]}
 
     t0 = time.time()

@@ -208,11 +208,11 @@ def calibrate(args, cfg):
         from neuroquant_tpu.ops.tail_fused import border_mask, pack_targets
         tp = tail_plan_for(args.arch, cfg)
         if tp is not None:
-            plan, f, _ = tp
+            plan, f, ch = tp
             cf_pack = {
                 "gt": jax.block_until_ready(
                     pack_targets(dataset.frames, plan, f)),
-                "mask": border_mask(plan),
+                "mask": border_mask(plan, ch=ch),
                 "denom": cfg["crop_h"] * cfg["crop_w"],
             }
             logging.info("cf_loss: packed-domain calibration loss on (f=%d, "

@@ -96,7 +96,7 @@ def param_counts(arch: str, cfg: dict, params, final_size: int,
 
 def tail_plan_for(arch: str, cfg: dict):
     """Static fused-tail geometry for (arch, cfg), or None when the fused
-    channels-first tail does not apply (no packed tail / non-GELU / PNeRV).
+    channels-first tail does not apply (no packed tail / non-GELU).
 
     Returns (plan, f_final, ch_packed) — what a caller needs to pack
     ground-truth frames into the decode_cf output domain
@@ -106,6 +106,21 @@ def tail_plan_for(arch: str, cfg: dict):
     from neuroquant_tpu.ops.tail_fused import plan_and_pack
 
     arch = arch.lower()
+    if arch.startswith("pnerv"):
+        from neuroquant_tpu.models.pnerv import PNeRVConfig, pnerv_tail_packed
+
+        c = PNeRVConfig.from_cfg(cfg)
+        if not pnerv_tail_packed(c):
+            return None
+        r = int(c.kfc_strides[-1])
+        ngf = int(c.kfc_h_w_c[2])
+        h, w = c.crop_h // r, c.crop_w // r
+        blocks = [(np.zeros((3, 3, ngf, ngf * r * r), np.float32),
+                   np.zeros(ngf * r * r, np.float32), r)]
+        head = (np.zeros((3, 3, ngf, 3), np.float32),
+                np.zeros(3, np.float32))
+        plan, _, _, f, ch = plan_and_pack(h, w, blocks, head)
+        return plan, f, ch
     if arch == "nerv":
         c = NeRVConfig.from_cfg(cfg)
     elif arch == "hnerv":

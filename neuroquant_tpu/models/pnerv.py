@@ -37,6 +37,8 @@ class PNeRVConfig:
     kfc_strides: Tuple[int, ...]
     dec_norm: str
     dec_acts: str
+    packed_tail: str = "auto"   # 'auto' | 'off' (post-fusion tail packing)
+    fused_tail: str = "auto"    # 'auto' | 'pallas' | 'jnp' | 'off'
 
     @classmethod
     def from_cfg(cls, cfg: dict) -> "PNeRVConfig":
@@ -48,12 +50,39 @@ class PNeRVConfig:
             kfc_h_w_c=tuple(cfg["kfc_h_w_c"]),
             kfc_strides=tuple(cfg["kfc_strides"]),
             dec_norm=cfg["dec_norm"], dec_acts=cfg["dec_acts"],
+            packed_tail=str(cfg.get("packed_tail", "auto")),
+            fused_tail=str(cfg.get("fused_tail", "auto")),
         )
 
     @property
     def embed_hw(self) -> Tuple[int, int]:
         s = int(np.prod(self.enc_strides))
         return self.crop_h // s, self.crop_w // s
+
+
+def pnerv_tail_packed(c: PNeRVConfig) -> bool:
+    """Whether PNeRV's post-fusion tail (last NeRVBlock + head) runs
+    space-to-depth packed.
+
+    The BSM gates inject KFc shortcut tensors at every intermediate
+    resolution, so the FUSED blocks stay unpacked — but the segment after
+    the last fusion (the final k=3 upsample block + the 3x3 head, ~75% of
+    decode FLOPs at the two highest resolutions) is a pure conv chain:
+    exactly the packed-tail pattern (ops/packed_decode.py). Reuses the MXU
+    padded-cost model on that one-block segment; 'off' forces the literal
+    composition (models/PNeRV.py:92-96)."""
+    if c.dec_acts != "gelu" or c.dec_norm != "none":
+        return False
+    if str(c.packed_tail).lower() in ("off", "false", "none"):
+        return False
+    from neuroquant_tpu.ops.packed_decode import plan_packed_tail
+
+    ngf = int(c.kfc_h_w_c[2])
+    r = int(c.kfc_strides[-1])
+    if r <= 1:
+        return False
+    t = plan_packed_tail([3], [r], [ngf], [ngf], c.crop_h, c.crop_w)
+    return t == 0
 
 
 class _PNeRVEncoder(nn.Module):
@@ -78,12 +107,12 @@ class PNeRV1(nn.Module):
     """PNeRV with KFc pyramid shortcuts + BSM gated fusion
     (models/PNeRV.py:11-105).
 
-    Note: the space-to-depth packed tail (ops/packed_decode.py) is NOT
-    applied here — the BSM gates fuse each block's output with KFc shortcut
-    tensors at every resolution, so the tail cannot stay in a packed layout
-    without also packing the KFc upsamplers (whose Kronecker structure
-    doesn't commute with space-to-depth). PNeRV decodes via the standard
-    fused conv+shuffle path; the reference publishes no PNeRV perf baseline.
+    The BSM gates fuse each block's output with KFc shortcut tensors at
+    every intermediate resolution, so the FUSED blocks run unpacked — but
+    the post-fusion segment (last NeRVBlock + head, the two most expensive
+    layers) is a pure conv chain and runs space-to-depth packed / as the
+    fused Pallas tail (pnerv_tail_packed; ops/packed_decode.py,
+    ops/tail_fused.py). The reference publishes no PNeRV perf baseline.
     """
 
     cfg: PNeRVConfig
@@ -123,25 +152,45 @@ class PNeRV1(nn.Module):
         self.bsm_z, self.bsm_r, self.bsm_h = bsm_z, bsm_r, bsm_h
         self.head_layer = Conv2d(features=3, kernel_size=(3, 3), padding=(1, 1))
         self.act_fn = activation(c.dec_acts)
+        self.tail_packed = pnerv_tail_packed(c)
 
     def encode(self, img):
         return self.encoder(img)
+
+    def _fuse(self, content, x, i):
+        """One BSM fusion stage (models/PNeRV.py:80-90)."""
+        pym = self.shortcuts[i](content)
+        pym = self.shortcut_norms[i](pym)
+        pym = self.act_fn(pym)
+        x = self.dec_layers[i](x)
+        memory_z = self.bsm_z[i](x)
+        memory_r = self.bsm_r[i](pym)
+        memory = jax.nn.relu(memory_z + memory_r)
+        att = jax.nn.sigmoid(self.bsm_h[i](memory))
+        return att * x + (1 - att) * memory_r
+
+    def _tail(self, x):
+        """Post-fusion tail (last block + head + sigmoid), packed."""
+        return _packed_tail(self, x)
+
+    def decode_cf(self, content):
+        """Decode to the packed channels-first head output (B, ch8, Mp) with
+        the sigmoid applied — the packed-domain calibration loss target
+        (see models/hnerv.py decode_cf)."""
+        x = self.dec_exc(content)
+        for i in range(len(self.shortcuts)):
+            x = self._fuse(content, x, i)
+        return _packed_tail_cf(self, x)
 
     def decode(self, content, return_embeds: bool = False):
         embeds = [content]
         x = self.dec_exc(content)
         n_fused = len(self.shortcuts)
         for i in range(n_fused):
-            pym = self.shortcuts[i](content)
-            pym = self.shortcut_norms[i](pym)
-            pym = self.act_fn(pym)
-            x = self.dec_layers[i](x)
-            memory_z = self.bsm_z[i](x)
-            memory_r = self.bsm_r[i](pym)
-            memory = jax.nn.relu(memory_z + memory_r)
-            att = jax.nn.sigmoid(self.bsm_h[i](memory))
-            x = att * x + (1 - att) * memory_r
+            x = self._fuse(content, x, i)
             embeds.append(x)
+        if not return_embeds and self.tail_packed:
+            return self._tail(x)
         x = self.dec_layers[n_fused](x)
         x = self.head_layer(x)
         img = jax.nn.sigmoid(x)
@@ -151,6 +200,44 @@ class PNeRV1(nn.Module):
 
     def __call__(self, img):
         return self.decode(self.encode(img))
+
+
+def _tail_params(m, x):
+    from neuroquant_tpu.models.layers import collect_tail_params
+
+    c = m.cfg
+    chans = [int(c.kfc_h_w_c[2])] * len(c.kfc_strides)
+    n_fused = len(c.kfc_strides) - 1
+    return collect_tail_params(m.dec_layers, m.head_layer, n_fused, chans, x)
+
+
+def _packed_tail(m, x):
+    """Run the post-fusion tail packed: fused Pallas/jnp kernels when the
+    activation chain allows, else packed XLA convs (models/hnerv.py:138-165
+    twin)."""
+    from neuroquant_tpu.ops.packed_decode import depth_to_space
+    from neuroquant_tpu.ops.tail_fused import resolve_impl, run_fused_tail_frames
+
+    n_fused = len(m.cfg.kfc_strides) - 1
+    impl = resolve_impl(m.cfg.fused_tail)
+    if impl is not None:
+        blocks, head = _tail_params(m, x)
+        return run_fused_tail_frames(x, blocks, head, "sigmoid", impl=impl)
+    x, perm = m.dec_layers[n_fused](x, pack_in=1, absorb=True)
+    f = m.dec_layers[n_fused].stride
+    x = m.head_layer(x, pack_in=f, in_perm=perm)
+    return depth_to_space(jax.nn.sigmoid(x), f)
+
+
+def _packed_tail_cf(m, x):
+    from neuroquant_tpu.models.layers import out_img
+    from neuroquant_tpu.ops.tail_fused import resolve_impl, run_fused_tail_cf
+
+    assert m.tail_packed, "decode_cf requires the packed PNeRV tail"
+    impl = resolve_impl(m.cfg.fused_tail) or "jnp"
+    blocks, head = _tail_params(m, x)
+    z, _, _, _ = run_fused_tail_cf(x, blocks, head, impl=impl)
+    return out_img(z, "sigmoid")
 
 
 class PNeRV2(nn.Module):
@@ -179,20 +266,32 @@ class PNeRV2(nn.Module):
         self.dec_layers = dec_layers
         self.bsm_z, self.bsm_h = bsm_z, bsm_h
         self.head_layer = Conv2d(features=3, kernel_size=(3, 3), padding=(1, 1))
+        self.tail_packed = pnerv_tail_packed(c)
 
     def encode(self, img):
         return self.encoder(img)
+
+    def decode_cf(self, content):
+        x = self.dec_exc(content)
+        for i in range(len(self.bsm_z)):
+            x = self._gate(x, i)
+        return _packed_tail_cf(self, x)
+
+    def _gate(self, x, i):
+        x = self.dec_layers[i](x)
+        memory = jax.nn.relu(self.bsm_z[i](x))
+        att = jax.nn.sigmoid(self.bsm_h[i](memory))
+        return att * x
 
     def decode(self, content, return_embeds: bool = False):
         embeds = [content]
         x = self.dec_exc(content)
         n_fused = len(self.bsm_z)
         for i in range(n_fused):
-            x = self.dec_layers[i](x)
-            memory = jax.nn.relu(self.bsm_z[i](x))
-            att = jax.nn.sigmoid(self.bsm_h[i](memory))
-            x = att * x
+            x = self._gate(x, i)
             embeds.append(x)
+        if not return_embeds and self.tail_packed:
+            return _packed_tail(self, x)
         x = self.dec_layers[n_fused](x)
         x = self.head_layer(x)
         img = jax.nn.sigmoid(x)

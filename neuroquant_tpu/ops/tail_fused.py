@@ -295,8 +295,18 @@ def _mask_np(h: int, w: int, pad: int, mp: int) -> np.ndarray:
     return m.reshape(1, 1, mp)
 
 
-def border_mask(plan: TailPlan, dtype=jnp.float32):
-    return jnp.asarray(_mask_np(plan.h, plan.w, plan.pad, plan.mp), dtype)
+def border_mask(plan: TailPlan, dtype=jnp.float32, ch: int | None = None):
+    """Validity mask for the packed head output. Spatial borders/flat padding
+    are zeroed; with `ch` (the REAL packed channel count, plan_and_pack's
+    ch return) the sublane-padded channel rows >= ch are zeroed too — they
+    carry out_img(0) (= 0.5 for sigmoid/tanh heads), which would otherwise
+    leak into a packed-domain loss whenever ch % 8 != 0 (e.g. PNeRV's
+    f=2 tail: ch=12 pads to 16 rows)."""
+    m = jnp.asarray(_mask_np(plan.h, plan.w, plan.pad, plan.mp), dtype)
+    if ch is None or ch == _r8(ch):
+        return m
+    rows = jnp.arange(_r8(ch))[None, :, None] < ch
+    return m * rows.astype(dtype)
 
 
 # --------------------------------------------------------------------------

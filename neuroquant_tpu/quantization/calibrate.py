@@ -213,9 +213,9 @@ def model_reconstruction(model, params, spec: QuantSpec, state: Dict,
             from neuroquant_tpu.ops.tail_fused import border_mask, pack_targets
             tp = tail_plan_for(arch, _dc.asdict(model.cfg))
             if tp is not None:
-                plan, f, _ = tp
+                plan, f, ch = tp
                 cf_pack = {"gt": pack_targets(frames, plan, f),
-                           "mask": border_mask(plan),
+                           "mask": border_mask(plan, ch=ch),
                            "denom": frames.shape[1] * frames.shape[2]}
                 log_fn(f"[calib] cf_loss auto: packed-domain loss "
                        f"(f={f}, Mp={plan.mp})")

@@ -49,9 +49,9 @@ def run(tag: str, iters=ITERS, batch=BATCH):
     cf_pack = None
     if "cf" in toks:
         from neuroquant_tpu.ops.tail_fused import border_mask, pack_targets
-        plan, f, _ = tail_plan_for("hnerv", cfg)
+        plan, f, ch = tail_plan_for("hnerv", cfg)
         cf_pack = {"gt": pack_targets(frames, plan, f),
-                   "mask": border_mask(plan), "denom": h * w}
+                   "mask": border_mask(plan, ch=ch), "denom": h * w}
 
     times = []
 

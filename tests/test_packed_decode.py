@@ -191,3 +191,93 @@ class TestPackGating:
                         jnp.float32)
         params = m.init(jax.random.PRNGKey(0), x)
         assert m.bind(params).pack_start is None
+
+
+class TestPNeRVPackedTail:
+    """PNeRV's post-fusion tail (last block + head) runs packed/fused
+    (models/pnerv.py pnerv_tail_packed); the BSM-fused blocks stay unpacked."""
+
+    def _cfg(self, tiny_pnerv_cfg, **kw):
+        return dict(tiny_pnerv_cfg, **kw)
+
+    @pytest.mark.parametrize("arch", ["pnerv", "pnerv2"])
+    def test_fast_path_matches_and_grads(self, tiny_pnerv_cfg, arch):
+        from neuroquant_tpu.models import build_model
+
+        m = build_model(arch, self._cfg(tiny_pnerv_cfg))
+        x = jnp.asarray(np.random.RandomState(0).rand(2, 80, 160, 3),
+                        jnp.float32)
+        params = m.init(jax.random.PRNGKey(0), x)
+        emb = m.apply(params, x, method="encode")
+        fast = m.apply(params, emb, method="decode")
+        slow, _ = m.apply(params, emb, method="decode", return_embeds=True)
+        assert float(jnp.abs(fast - slow).max()) < 1e-5
+
+        def loss(p, use_fast):
+            out = m.apply(p, emb, method="decode") if use_fast else \
+                m.apply(p, emb, method="decode", return_embeds=True)[0]
+            return ((out - 0.5) ** 2).mean()
+
+        g_fast = jax.tree_util.tree_leaves(jax.grad(loss)(params, True))
+        g_slow = jax.tree_util.tree_leaves(jax.grad(loss)(params, False))
+        for a, b in zip(g_fast, g_slow):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-3)
+
+    def test_decode_cf_loss_matches_nhwc(self, tiny_pnerv_cfg):
+        """The packed-domain calibration loss equals the NHWC lp_loss — incl.
+        the sublane-padded channel rows (ch=12 -> 16 here), which border_mask
+        (ch=...) must zero or out_img(0)=0.5 leaks a constant bias."""
+        from neuroquant_tpu.models import build_model, tail_plan_for
+        from neuroquant_tpu.ops.tail_fused import border_mask, pack_targets
+
+        m = build_model("pnerv", self._cfg(tiny_pnerv_cfg))
+        x = jnp.asarray(np.random.RandomState(3).rand(2, 80, 160, 3),
+                        jnp.float32)
+        params = m.init(jax.random.PRNGKey(1), x)
+        emb = m.apply(params, x, method="encode")
+        slow, _ = m.apply(params, emb, method="decode", return_embeds=True)
+        plan, f, ch = tail_plan_for("pnerv", tiny_pnerv_cfg)
+        assert ch % 8 != 0, "fixture must exercise the padded-channel case"
+        z = m.apply(params, emb, method="decode_cf")
+        gt = jnp.asarray(np.random.RandomState(4).rand(2, 80, 160, 3),
+                         jnp.float32)
+        mask = border_mask(plan, ch=ch)
+        cf = (((z - pack_targets(gt, plan, f)) * mask) ** 2).sum() / (2 * 80 * 160)
+        ref = ((slow - gt) ** 2).sum(axis=-1).mean()
+        assert abs(float(cf) - float(ref)) < 1e-6
+
+    def test_packed_tail_off(self, tiny_pnerv_cfg):
+        from neuroquant_tpu.models import build_model, tail_plan_for
+        from neuroquant_tpu.models.pnerv import pnerv_tail_packed
+
+        cfg = self._cfg(tiny_pnerv_cfg, packed_tail="off")
+        m = build_model("pnerv", cfg)
+        assert not pnerv_tail_packed(m.cfg)
+        assert tail_plan_for("pnerv", cfg) is None
+        x = jnp.asarray(np.random.RandomState(5).rand(1, 80, 160, 3),
+                        jnp.float32)
+        params = m.init(jax.random.PRNGKey(2), x)
+        out = m.apply(params, x)
+        assert out.shape == (1, 80, 160, 3)
+
+    def test_quantized_decode_packed(self, tiny_pnerv_cfg):
+        """quantize_params -> packed PNeRV decode == unpacked decode."""
+        from neuroquant_tpu.models import build_model
+        from neuroquant_tpu.quantization import (
+            init_quant_state, make_spec, quantize_params,
+        )
+
+        cfg = self._cfg(tiny_pnerv_cfg)
+        m = build_model("pnerv", cfg)
+        x = jnp.asarray(np.random.RandomState(6).rand(2, 80, 160, 3),
+                        jnp.float32)
+        params = m.init(jax.random.PRNGKey(3), x)
+        spec = make_spec("pnerv", cfg, channel_wise=True, scale_method="max",
+                         hadamard=False)
+        state = init_quant_state(params, spec)
+        qp = quantize_params(params, spec, state, mode="uaq")
+        emb = m.apply(params, x, method="encode")
+        fast = m.apply(qp, emb, method="decode")
+        slow, _ = m.apply(qp, emb, method="decode", return_embeds=True)
+        assert float(jnp.abs(fast - slow).max()) < 1e-5
