@@ -33,7 +33,7 @@ def bench_decode(arch: str, variants):
         c = dict(cfg, **overrides)
         model = build_model(arch, c)
         rng = jax.random.PRNGKey(0)
-        if arch == "hnerv":
+        if arch != "nerv":
             x = jnp.zeros((1, c["crop_h"], c["crop_w"], 3), jnp.float32)
             params = model.init(rng, x)
             emb = jax.jit(lambda p, x: model.apply(p, x, method="encode"))(params, x)
@@ -47,7 +47,7 @@ def bench_decode(arch: str, variants):
               f"({1000.0 / fps:.2f} ms/frame)")
 
 
-def bench_calib(overrides, tag, arch="hnerv", iters=264, batch=2):
+def bench_calib(overrides, tag, arch="hnerv", iters=264, batch=2, bits=None):
     from neuroquant_tpu.quantization import init_quant_state, make_spec
     from neuroquant_tpu.quantization.calibrate import model_reconstruction
 
@@ -59,7 +59,7 @@ def bench_calib(overrides, tag, arch="hnerv", iters=264, batch=2):
     params = model.init(jax.random.PRNGKey(903), frames[:1])
     cali = jax.jit(lambda p, x: model.apply(p, x, method="encode"))(params, frames)
     spec = make_spec(arch, cfg, channel_wise=True, scale_method="max",
-                     hadamard=True).with_bits([6, 5, 4, 5, 5, 6, 6])
+                     hadamard=True).with_bits(bits or [6, 5, 4, 5, 5, 6, 6])
     state = init_quant_state(params, spec)
     train_ind = list(range(132))
     times = []
@@ -68,7 +68,7 @@ def bench_calib(overrides, tag, arch="hnerv", iters=264, batch=2):
         times.append(time.time())
 
     model_reconstruction(model, params, spec, state, cali, frames, train_ind,
-                         batch_size=batch, iters=iters, weight=0.01,
+                         arch=arch, batch_size=batch, iters=iters, weight=0.01,
                          b_range=(20, 2), warmup=0.2, lr=0.003, seed=903,
                          log_fn=lambda m: None, epoch_hook=hook)
     spe = 132 // batch
@@ -85,6 +85,15 @@ if __name__ == "__main__":
         bench_decode("hnerv", [("fused(auto)", {}), ("fused_off", {"fused_tail": "off"}), ("unpacked", {"packed_tail": "off"})])
     if what in ("nerv", "all"):
         bench_decode("nerv", [("fused(auto)", {}), ("fused_off", {"fused_tail": "off"})])
+    if what in ("pnerv", "all"):
+        bench_decode("pnerv", [("fused(auto)", {}), ("fused_off", {"fused_tail": "off"}), ("unpacked", {"packed_tail": "off"})])
     if what in ("calib", "all"):
         bench_calib({}, "packed(auto)")
         bench_calib({"packed_tail": "off"}, "unpacked")
+    if what == "pnerv_calib":
+        from neuroquant_tpu.config import get_config as _gc
+        pc = _gc("configs/PNeRV/Bunny_1280x640_3M.yaml")
+        n = 1 + len(pc["kfc_strides"]) + 3 * (len(pc["kfc_strides"]) - 1) + 1
+        bench_calib(dict(pc), "pnerv packed", arch="pnerv", bits=[5] * n)
+        bench_calib(dict(pc, packed_tail="off"), "pnerv unpacked",
+                    arch="pnerv", bits=[5] * n)
