@@ -163,3 +163,66 @@ class TestFusedEvalParity:
                                        rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(emb_dev), np.asarray(emb_host),
                                    rtol=1e-5, atol=1e-6)
+
+
+class TestCalibResume:
+    def test_checkpoint_resume_continues(self, tmp_path, tiny_hnerv_cfg,
+                                         frame_dir):
+        """Crash-recovery resume is an EXACT continuation: checkpoints carry
+        the QuantState AND the Adam moments, the epoch rng is fold_in(rng, e)
+        on the absolute epoch index, and count/temp-decay resume from the
+        saved count — so resuming from the epoch-3 snapshot reproduces the
+        uninterrupted run's final state."""
+        import jax
+        import numpy as np
+        from neuroquant_tpu.data import VideoDataSet
+        from neuroquant_tpu.models import build_model
+        from neuroquant_tpu.quantization import (
+            init_quant_state, make_spec, model_reconstruction,
+        )
+
+        ds = VideoDataSet(tiny_hnerv_cfg, frame_dir)
+        model = build_model("hnerv", tiny_hnerv_cfg)
+        params = model.init(jax.random.PRNGKey(0), ds.frames[:1])
+        emb = model.apply(params, ds.frames, method="encode")
+        spec = make_spec("hnerv", tiny_hnerv_cfg, channel_wise=True,
+                         scale_method="max").with_bits([4] * 5)
+        state0 = init_quant_state(params, spec)
+
+        # 6 phase-2 epochs of 2 steps; checkpoint every 2 epochs
+        kw = dict(arch="hnerv", batch_size=4, iters=12, warmup=0.2,
+                  lr=0.003, seed=903, log_fn=lambda m: None)
+        ckpt = str(tmp_path / "calib_ckpt.pkl")
+        s_full, _ = model_reconstruction(
+            model, params, spec, state0, emb, ds.frames, list(range(8)),
+            checkpoint_path=ckpt, ckpt_every_epochs=2, **kw)
+        assert os.path.exists(ckpt)
+
+        import pickle
+        saved = pickle.load(open(ckpt, "rb"))
+        assert saved["epoch"] == 5          # last multiple-of-2 epoch index
+        assert saved["count"] == 12
+
+        # roll the checkpoint back to epoch 3 (simulating a crash at epoch 4)
+        # by re-saving an earlier snapshot: rerun with ckpt_every=4 so the
+        # last save is epoch 3, then resume and compare to the full run
+        ckpt2 = str(tmp_path / "calib_ckpt2.pkl")
+        model_reconstruction(
+            model, params, spec, state0, emb, ds.frames, list(range(8)),
+            checkpoint_path=ckpt2, ckpt_every_epochs=4, **kw)
+        saved2 = pickle.load(open(ckpt2, "rb"))
+        assert saved2["epoch"] == 3 and saved2["count"] == 8
+
+        logs = []
+        s_res, _ = model_reconstruction(
+            model, params, spec, state0, emb, ds.frames, list(range(8)),
+            checkpoint_path=ckpt2, ckpt_every_epochs=100,
+            **{**kw, "log_fn": logs.append})
+        assert any("resuming" in str(m) for m in logs)
+        # resumed state == uninterrupted final state (same shuffles, same
+        # count, restored Adam moments)
+        for ln in spec.layer_names:
+            for k in s_full[ln]:
+                a, b = np.asarray(s_full[ln][k]), np.asarray(s_res[ln][k])
+                assert np.all(np.isfinite(b))
+                np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
