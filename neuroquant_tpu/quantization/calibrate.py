@@ -267,11 +267,14 @@ def model_reconstruction(model, params, spec: QuantSpec, state: Dict,
         st = snapshot(st)
         # Adam moments too: resume is then an EXACT continuation (same
         # shuffles via epoch-indexed fold_in, same count/temp-decay, same
-        # optimizer state), not a moments-reset approximation
-        opt_leaves = [np.asarray(x)
-                      for x in jax.tree_util.tree_leaves(snapshot(opt_state))]
+        # optimizer state), not a moments-reset approximation. Snapshot on
+        # device here (the live buffers are donated into the next epoch);
+        # the D2H fetch happens inside the thread, off the critical path.
+        opt_snap = snapshot(opt_state)
 
-        def _write(epoch=epoch, st=st, count=count, opt_leaves=opt_leaves):
+        def _write(epoch=epoch, st=st, count=count, opt_snap=opt_snap):
+            opt_leaves = [np.asarray(x)
+                          for x in jax.tree_util.tree_leaves(opt_snap)]
             with open(checkpoint_path + ".tmp", "wb") as f:
                 pickle.dump({"epoch": epoch, "count": count,
                              "state": jax.tree_util.tree_map(np.asarray, st),

@@ -64,6 +64,8 @@ def harvest(run_dir: str):
             m = re.search(r"Eval at Step \[\d+/\d+\].*PSNR ([\d.]+)", line)
             if m:
                 psnr = float(m.group(1))
+    if psnr is None:
+        return None        # crashed/incomplete run: log without eval lines
     bpp = json.load(open(sorted(jsons, key=os.path.getmtime)[-1]))["bpp"]
     return psnr, float(bpp)
 
@@ -72,8 +74,6 @@ def main(argv):
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="plots/rd_bunny.png")
     args = ap.parse_args(argv)
-
-    from neuroquant_tpu.analysis.rd_curves import bd_psnr, bd_rate
 
     ours = []
     for label, bits, d in RUNS:
@@ -88,8 +88,12 @@ def main(argv):
     bpps = [p[3] for p in ours]
     psnrs = [p[2] for p in ours]
 
-    ref = [(lb, REF_POINTS[lb], bp) for lb, _, _, bp in
-           [(l, b, p, bp) for l, b, p, bp in ours] if lb in REF_POINTS]
+    ref = [(lb, REF_POINTS[lb], bp) for lb, _, _, bp in ours
+           if lb in REF_POINTS]
+    if len(ref) < 2:
+        print(json.dumps({"error": "need both REF_POINTS allocations "
+                                   "harvested", "have_ref": len(ref)}))
+        return 1
     ref_psnr = [r[1] for r in ref]
     ref_bpp = [r[2] for r in ref]
 
@@ -109,7 +113,20 @@ def main(argv):
         avg_t = (np.polyval(it, hi) - np.polyval(it, lo)) / (hi - lo)
         return float((np.exp(avg_t - avg_a) - 1) * 100), (lo, hi)
 
+    def bd_psnr_linear(anchor_bpp, anchor_psnr, test_bpp, test_psnr):
+        """BD-PSNR (dB) with a linear anchor fit over the log-rate overlap."""
+        la, lt = np.log(anchor_bpp), np.log(test_bpp)
+        pa = np.polyfit(la, anchor_psnr, 1)
+        pt = np.polyfit(lt, test_psnr, min(3, len(test_psnr) - 1))
+        lo = max(la.min(), lt.min())
+        hi = min(la.max(), lt.max())
+        ia, it = np.polyint(pa), np.polyint(pt)
+        avg_a = (np.polyval(ia, hi) - np.polyval(ia, lo)) / (hi - lo)
+        avg_t = (np.polyval(it, hi) - np.polyval(it, lo)) / (hi - lo)
+        return float(avg_t - avg_a)
+
     bd, (lo, hi) = bd_linear(ref_bpp, ref_psnr, bpps, psnrs)
+    bdp = bd_psnr_linear(ref_bpp, ref_psnr, bpps, psnrs)
 
     import matplotlib
     matplotlib.use("Agg")
@@ -138,6 +155,7 @@ def main(argv):
         "points": [{"label": l, "bits": b, "psnr": p, "bpp": bp}
                    for l, b, p, bp in ours],
         "bd_rate_vs_ref_pct": round(bd, 2),
+        "bd_psnr_vs_ref_db": round(bdp, 3),
         "bd_overlap_db": [round(lo, 2), round(hi, 2)],
         "plot": args.out}))
     return 0
