@@ -83,6 +83,13 @@ if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     if what in ("hnerv", "all"):
         bench_decode("hnerv", [("fused(auto)", {}), ("fused_off", {"fused_tail": "off"}), ("unpacked", {"packed_tail": "off"})])
+    if what == "tsweep":
+        # pack-start sweep under the FUSED kernels: the XLA padded-cost model
+        # picked t=3, but the Pallas kernels don't pay 128-lane channel
+        # padding, so the kp^2 kernel inflation of early packing may not pay
+        for arch in ("hnerv", "nerv"):
+            bench_decode(arch, [(f"t{t}", {"packed_tail": t})
+                                for t in (2, 3, 4)])
     if what in ("nerv", "all"):
         bench_decode("nerv", [("fused(auto)", {}), ("fused_off", {"fused_tail": "off"})])
     if what in ("pnerv", "all"):
