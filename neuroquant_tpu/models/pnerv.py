@@ -76,12 +76,16 @@ def pnerv_tail_packed(c: PNeRVConfig) -> bool:
     if str(c.packed_tail).lower() in ("off", "false", "none"):
         return False
     from neuroquant_tpu.ops.packed_decode import plan_packed_tail
+    from neuroquant_tpu.ops.tail_fused import resolve_impl
 
     ngf = int(c.kfc_h_w_c[2])
     r = int(c.kfc_strides[-1])
     if r <= 1:
         return False
-    t = plan_packed_tail([3], [r], [ngf], [ngf], c.crop_h, c.crop_w)
+    # with the fused Pallas tail available, break XLA-cost ties toward
+    # packing (the Bunny config ties exactly: 204800*4*9 == 819200*1*9)
+    t = plan_packed_tail([3], [r], [ngf], [ngf], c.crop_h, c.crop_w,
+                         prefer_packed=resolve_impl(c.fused_tail) is not None)
     return t == 0
 
 

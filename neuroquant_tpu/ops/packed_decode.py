@@ -51,7 +51,8 @@ import numpy as np
 
 def plan_packed_tail(kernels, strides, in_channels, out_channels,
                      crop_h: int, crop_w: int,
-                     head_kernel: int = 3, head_out: int = 3):
+                     head_kernel: int = 3, head_out: int = 3,
+                     prefer_packed: bool = False):
     """Choose the block index whose PixelShuffle starts the packed tail by
     minimizing an MXU padded-cost model.
 
@@ -112,7 +113,11 @@ def plan_packed_tail(kernels, strides, in_channels, out_channels,
         # do on the stride grid) and strides are isotropic ints
         candidates[t] = plan_cost(t)
     valid = {t: c for t, c in candidates.items() if c is not None}
-    return min(valid, key=valid.get)
+    # prefer_packed breaks MXU-cost ties toward packing — used when the
+    # fused Pallas tail executes the packed segment (its costs are not the
+    # XLA padded-cost model's: no 128-lane channel padding, fused epilogues)
+    return min(valid, key=lambda t: (valid[t], (t is None) if prefer_packed
+                                     else (t is not None)))
 
 
 def resolve_pack_start(packed_tail, kernels, strides, dec_norm: str,

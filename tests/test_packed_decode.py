@@ -281,3 +281,19 @@ class TestPNeRVPackedTail:
         fast = m.apply(qp, emb, method="decode")
         slow, _ = m.apply(qp, emb, method="decode", return_embeds=True)
         assert float(jnp.abs(fast - slow).max()) < 1e-5
+
+    def test_bunny_tie_prefers_packed_under_fused(self):
+        """The flagship PNeRV Bunny shapes TIE exactly under the XLA padded-
+        cost model (204800*4*9 == 819200*1*9); with the fused Pallas tail
+        available the tie must break toward packing (prefer_packed), since
+        the kernels don't pay the model's 128-lane channel padding."""
+        from neuroquant_tpu.models.pnerv import PNeRVConfig, pnerv_tail_packed
+
+        bunny = dict(crop_h=640, crop_w=1280, enc_channel=64, emd_channel=16,
+                     enc_strides=[5, 4, 4, 2, 2], kfc_h_w_c=[20, 40, 100],
+                     kfc_strides=[2, 2, 2, 2, 2], dec_norm="none",
+                     dec_acts="gelu")
+        c_pallas = PNeRVConfig.from_cfg(dict(bunny, fused_tail="pallas"))
+        c_xla = PNeRVConfig.from_cfg(dict(bunny, fused_tail="off"))
+        assert pnerv_tail_packed(c_pallas)
+        assert not pnerv_tail_packed(c_xla)   # tie -> unpacked on plain XLA
