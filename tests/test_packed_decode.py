@@ -297,3 +297,19 @@ class TestPNeRVPackedTail:
         c_xla = PNeRVConfig.from_cfg(dict(bunny, fused_tail="off"))
         assert pnerv_tail_packed(c_pallas)
         assert not pnerv_tail_packed(c_xla)   # tie -> unpacked on plain XLA
+
+    @pytest.mark.parametrize("impl", ["jnp", "pallas"])
+    def test_fused_impl_matches(self, tiny_pnerv_cfg, impl):
+        """The fused tail impls (what the TPU runs under 'auto') match the
+        unpacked composition for PNeRV; 'pallas' runs in interpret mode on
+        CPU (tests/conftest)."""
+        from neuroquant_tpu.models import build_model
+
+        m = build_model("pnerv", self._cfg(tiny_pnerv_cfg, fused_tail=impl))
+        x = jnp.asarray(np.random.RandomState(7).rand(1, 80, 160, 3),
+                        jnp.float32)
+        params = m.init(jax.random.PRNGKey(4), x)
+        emb = m.apply(params, x, method="encode")
+        fast = m.apply(params, emb, method="decode")
+        slow, _ = m.apply(params, emb, method="decode", return_embeds=True)
+        assert float(jnp.abs(fast - slow).max()) < 2e-5
