@@ -43,6 +43,38 @@ def msssim_fn_batch(output_list, gt):
     return jnp.stack([msssim_fn_single(o, gt) for o in output_list], axis=0)
 
 
+def psnr_fn(output_list, target_list):
+    """Staged-output PSNR: per (output, target) stage, one scalar PSNR over
+    the whole batch, broadcast to (batch, num_stage) (utils.py:167-176).
+
+    Dead code in the reference (no caller in methods/ or draw/) — kept for
+    API-surface parity with multi-stage NeRV variants.
+    """
+    cols = []
+    for output, target in zip(output_list, target_list):
+        mse = jnp.mean((output - target) ** 2)
+        psnr = -10.0 * jnp.log10(mse + 1e-9)
+        cols.append(jnp.broadcast_to(psnr.reshape(1, 1),
+                                     (output.shape[0], 1)))
+    return jnp.concatenate(cols, axis=1)
+
+
+def msssim_fn(output_list, target_list):
+    """Staged-output MS-SSIM, scalar per stage broadcast to
+    (batch, num_stage); stages with H < 160 score 0 (utils.py:178-188).
+    Dead code in the reference — see :func:`psnr_fn`.
+    """
+    vals = []
+    for output, target in zip(output_list, target_list):
+        if output.shape[-3] >= 160:
+            vals.append(ms_ssim(output, target, data_range=1.0,
+                                size_average=True).reshape(1))
+        else:
+            vals.append(jnp.zeros((1,), jnp.float32))
+    row = jnp.concatenate(vals, axis=0).reshape(1, -1)
+    return jnp.broadcast_to(row, (output_list[-1].shape[0], row.shape[1]))
+
+
 def psnr2(img1, img2):
     """Elementwise PSNR map clamped to [0, 50] (utils.py:104-109)."""
     mse = (img1 - img2) ** 2

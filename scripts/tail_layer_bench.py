@@ -1,0 +1,180 @@
+"""Per-layer timing of the fused Pallas tail: mode x tile sweep.
+
+For each layer of an arch's real tail plan, times the forward kernel (and
+optionally convT/dW) under every execution mode that fits VMEM, plus the
+whole-tail composition, against the analytic MXU floor. Drives the
+NQ_TAIL_MODE override in ops/tail_fused._exec_cfg, so what this script finds
+fastest can be pinned without code changes — and its numbers calibrate the
+padded-cost model itself.
+
+Usage: python scripts/tail_layer_bench.py [--arch hnerv|nerv] [--batch N]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from neuroquant_tpu.ops import tail_fused as tf
+
+
+def geometry(arch):
+    if arch == "hnerv":
+        h, w, c0 = 160, 320, 53
+        blocks = [(5, 53, 176, 2), (5, 44, 148, 2)]
+        head = (3, 37, 3)
+    else:
+        h, w, c0 = 160, 320, 24
+        blocks = [(3, 24, 96, 2), (3, 24, 96, 2)]
+        head = (3, 24, 3)
+    return h, w, c0, blocks, head
+
+
+def build(arch, dt):
+    h, w, c0, bl, hd = geometry(arch)
+    rng = np.random.RandomState(0)
+    blocks = []
+    for (k, cin, crr, r) in bl:
+        blocks.append((jnp.asarray(rng.randn(k, k, cin, crr) * .05, dt),
+                       jnp.asarray(rng.randn(crr) * .05, dt), r))
+    kh, cinh, couth = hd
+    head = (jnp.asarray(rng.randn(kh, kh, cinh, couth) * .05, dt),
+            jnp.asarray(rng.randn(couth) * .05, dt))
+    return h, w, c0, blocks, head
+
+
+def timed_scan(fn, args, iters=30):
+    """One jitted scan whose body consumes the index (no hoisting) and whose
+    outputs feed the carry (no DCE)."""
+    @jax.jit
+    def loop(*a):
+        def body(acc, i):
+            out = fn(i, *a)
+            leaves = jax.tree_util.tree_leaves(out)
+            return acc + sum(jnp.sum(l.astype(jnp.float32)) for l in leaves), None
+        acc, _ = jax.lax.scan(body, 0.0, jnp.arange(iters))
+        return acc
+
+    jax.block_until_ready(loop(*args))
+    t0 = time.time()
+    jax.block_until_ready(loop(*args))
+    return (time.time() - t0) / iters * 1e3
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--arch", default="hnerv")
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--bwd", action="store_true",
+                    help="also time convT and dW per layer")
+    args = ap.parse_args()
+
+    h, w, c0, blocks, head = build(args.arch, jnp.float32)
+    plan, kks, bms, f, ch = tf.plan_and_pack(h, w, blocks, head)
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(args.batch, tf._r8(c0), plan.mp) * .1,
+                    jnp.float32)
+    x_cf, kks_c, bms_c, _ = tf._mxu_cast(x, kks, bms, jnp.float32)
+    dtype = x_cf.dtype
+
+    print(f"plan: h={plan.h} w={plan.w} pad={plan.pad} tm={plan.tm} "
+          f"Mp={plan.mp} dtype={dtype}")
+    peak_tf = 197e12 if dtype == jnp.bfloat16 else 98e12
+
+    # ---- per-layer sweep ----
+    xs = {}
+    hcur = x_cf
+    for li, layer in enumerate(plan.layers):
+        xs[li] = hcur
+        hcur = tf._conv_cf(hcur, kks_c[li], bms_c[li], None, plan, layer,
+                           dtype, emit="y" if li + 1 < len(plan.layers)
+                           else "z")
+
+    for li, layer in enumerate(plan.layers):
+        sp = layer.sparse
+        # dense flops of this layer in the packed domain; sparse layers do
+        # 1/f^2 of that in original-kernel terms
+        dense_gf = 2 * plan.mp * layer.cout * layer.taps * layer.cin / 1e9
+        if sp is not None:
+            k_o, cin_o, cout_o, qt = sp
+            real_gf = 2 * plan.mp * len(qt) * cout_o * k_o * k_o * cin_o / 1e9
+        else:
+            real_gf = dense_gf
+        print(f"\nlayer {li}: side={layer.side} cin={layer.cin} "
+              f"cout={layer.cout} sparse={'y' if sp else 'n'} "
+              f"dense {dense_gf:.1f} GF real {real_gf:.1f} GF "
+              f"floor {real_gf * args.batch / peak_tf * 1e3 * 1e3:.0f} us")
+        modes = ["patches", "taps", "kn2row"]
+        if sp is not None:
+            modes.append("qpatches")
+        xin = xs[li]
+        for mode in modes:
+            for tm in (1024, 2048, 4096):
+                os.environ["NQ_TAIL_MODE"] = \
+                    f"{layer.cin}x{layer.cout}={mode}@{tm}"
+                tf._exec_cfg.cache_clear()
+                try:
+                    cfg = tf._exec_cfg(plan, layer, jnp.dtype(dtype).itemsize,
+                                       "fwd1")
+                    if plan.mp % cfg.tm:
+                        continue
+
+                    def fwd(i, xin, kk, bm):
+                        return tf._conv_cf(
+                            xin * (1.0 + 1e-6 * i).astype(dtype), kk, bm, None, plan,
+                            layer, dtype, emit="y")
+                    ms = timed_scan(fwd, (xin, kks_c[li], bms_c[li]),
+                                    args.iters)
+                    eff = real_gf * args.batch / peak_tf * 1e6 / (ms * 1e3)
+                    print(f"  fwd {mode:9s}@{tm}: {ms * 1e3:7.0f} us  "
+                          f"({eff * 100:4.1f}% of floor)")
+                except Exception as e:
+                    print(f"  fwd {mode:9s}@{tm}: FAIL "
+                          f"{type(e).__name__}: {str(e)[:80]}")
+        os.environ.pop("NQ_TAIL_MODE", None)
+        tf._exec_cfg.cache_clear()
+
+    # ---- whole-tail + default-choice report ----
+    for li, layer in enumerate(plan.layers):
+        for kind in ("fwd1", "fwd2", "dw"):
+            cfg = tf._exec_cfg(plan, layer, jnp.dtype(dtype).itemsize, kind)
+            print(f"default layer {li} {kind}: {cfg.mode}@{cfg.tm}")
+
+    def whole(i, x_cf, kks_c, bms_c):
+        return tf.tail_apply(plan, x_cf * (1.0 + 1e-6 * i).astype(dtype),
+                             kks_c, bms_c)
+    ms = timed_scan(whole, (x_cf, kks_c, bms_c), args.iters)
+    tot_gf = sum((2 * plan.mp * len(l.sparse[3]) * l.sparse[2]
+                  * l.sparse[0] ** 2 * l.sparse[1] if l.sparse
+                  else 2 * plan.mp * l.cout * l.taps * l.cin)
+                 for l in plan.layers) / 1e9
+    print(f"\nwhole tail fwd: {ms:.3f} ms "
+          f"({tot_gf * args.batch / peak_tf * 1e6 / (ms * 1e3) * 100:.1f}% "
+          f"of {tot_gf:.0f} GF floor)")
+
+    if args.bwd:
+        cot = jnp.asarray(rng.randn(args.batch, plan.layers[-1].cout,
+                                    plan.mp) * .01, jnp.float32)
+
+        def gradfn(i, x_cf, kks_c, bms_c):
+            def loss(x_cf, kks_c, bms_c):
+                z = tf.tail_apply(plan, x_cf * (1.0 + 1e-6 * i).astype(dtype),
+                                  kks_c, bms_c)
+                return jnp.sum(z.astype(jnp.float32) * cot.astype(jnp.float32))
+            return jax.grad(loss, argnums=(0, 1, 2))(x_cf, kks_c, bms_c)
+        ms = timed_scan(gradfn, (x_cf, kks_c, bms_c), max(args.iters // 3, 5))
+        print(f"whole tail fwd+bwd: {ms:.3f} ms")
+
+
+if __name__ == "__main__":
+    main()

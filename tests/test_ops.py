@@ -95,6 +95,43 @@ class TestMSSSIM:
         assert v.shape == (3,)
 
 
+class TestStagedMetrics:
+    """Staged-list psnr_fn/msssim_fn (reference utils.py:167-188, dead code
+    there — kept for API parity): (batch, num_stage) broadcast semantics and
+    the per-stage H<160 MS-SSIM guard."""
+
+    def test_psnr_fn_stages(self):
+        import numpy as np
+
+        from neuroquant_tpu.metrics import psnr_fn
+
+        k = jax.random.PRNGKey(0)
+        outs = [jax.random.uniform(jax.random.fold_in(k, i), (2, 64, 64, 3))
+                for i in range(3)]
+        tgts = [o + 0.01 * (i + 1) for i, o in enumerate(outs)]
+        v = psnr_fn(outs, tgts)
+        assert v.shape == (2, 3)
+        # rows identical (scalar per stage), stages ordered by noise level
+        assert np.allclose(v[0], v[1])
+        assert float(v[0, 0]) > float(v[0, 1]) > float(v[0, 2])
+        expect = -10 * np.log10(np.mean((np.asarray(outs[0])
+                                         - np.asarray(tgts[0])) ** 2) + 1e-9)
+        assert float(v[0, 0]) == pytest.approx(float(expect), abs=1e-4)
+
+    def test_msssim_fn_small_stage_guard(self):
+        import numpy as np
+
+        from neuroquant_tpu.metrics import msssim_fn
+
+        k = jax.random.PRNGKey(1)
+        small = jax.random.uniform(k, (2, 80, 96, 3))      # H < 160 -> 0
+        big = jax.random.uniform(jax.random.fold_in(k, 1), (2, 192, 224, 3))
+        v = msssim_fn([small, big], [small, big])
+        assert v.shape == (2, 2)
+        assert np.allclose(v[:, 0], 0.0)
+        assert float(v[0, 1]) == pytest.approx(1.0, abs=1e-5)
+
+
 class TestQuantMath:
     def test_round_ste_gradient(self):
         g = jax.grad(lambda x: Q.round_ste(x).sum())(jnp.asarray([0.3, 1.7]))
