@@ -227,7 +227,9 @@ def save_pth(path: str, arch: str, params) -> None:
     import torch
 
     sd = params_to_state_dict(arch, params)
-    torch_sd = OrderedDict((k, torch.from_numpy(np.ascontiguousarray(v)))
+    # np.array(..., copy=True) also drops the non-writable flag jax device
+    # arrays carry (torch.from_numpy warns on read-only buffers)
+    torch_sd = OrderedDict((k, torch.from_numpy(np.array(v, copy=True)))
                            for k, v in sd.items())
     torch.save(torch_sd, path)
 
