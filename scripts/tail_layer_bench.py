@@ -52,9 +52,27 @@ def build(arch, dt):
     return h, w, c0, blocks, head
 
 
-def timed_scan(fn, args, iters=30):
+_FETCH_BASELINE = [None]
+
+
+def fetch_baseline():
+    """Tunnel round-trip cost of one host fetch (~29 ms on the axon
+    backend). block_until_ready does NOT reliably synchronize through the
+    tunnel — only a host fetch does — so every timing below runs a long
+    scan, fetches the scalar result once, and subtracts this baseline."""
+    if _FETCH_BASELINE[0] is None:
+        f = jax.jit(lambda x: jnp.sum(x))
+        x = jnp.ones((8, 128))
+        float(f(x))
+        t0 = time.time()
+        float(f(x))
+        _FETCH_BASELINE[0] = time.time() - t0
+    return _FETCH_BASELINE[0]
+
+
+def timed_scan(fn, args, iters=100):
     """One jitted scan whose body consumes the index (no hoisting) and whose
-    outputs feed the carry (no DCE)."""
+    outputs feed the carry (no DCE); synced by a host fetch of the scalar."""
     @jax.jit
     def loop(*a):
         def body(acc, i):
@@ -64,17 +82,17 @@ def timed_scan(fn, args, iters=30):
         acc, _ = jax.lax.scan(body, 0.0, jnp.arange(iters))
         return acc
 
-    jax.block_until_ready(loop(*args))
+    float(loop(*args))
     t0 = time.time()
-    jax.block_until_ready(loop(*args))
-    return (time.time() - t0) / iters * 1e3
+    float(loop(*args))
+    return (time.time() - t0 - fetch_baseline()) / iters * 1e3
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--arch", default="hnerv")
     ap.add_argument("--batch", type=int, default=1)
-    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--bwd", action="store_true",
                     help="also time convT and dW per layer")
     args = ap.parse_args()
@@ -141,6 +159,45 @@ def main():
                 except Exception as e:
                     print(f"  fwd {mode:9s}@{tm}: FAIL "
                           f"{type(e).__name__}: {str(e)[:80]}")
+        if args.bwd:
+            # convT (dx) pass: transposed geometry, GELU' epilogue omitted
+            lt = layer.transposed()
+            g_out = jnp.asarray(rng.randn(args.batch, layer.cout, plan.mp)
+                                * .01, dtype)
+            ktr = tf._kk_transpose(kks_c[li])
+            for mode in (["patches", "taps", "kn2row"]
+                         + (["qpatches"] if lt.sparse else [])):
+                for tm in (1024, 2048):
+                    os.environ["NQ_TAIL_MODE"] = \
+                        f"{lt.cin}x{lt.cout}={mode}@{tm}"
+                    tf._exec_cfg.cache_clear()
+                    try:
+                        def bwdx(i, g, kk):
+                            return tf._conv_cf(
+                                g * (1.0 + 1e-6 * i).astype(dtype), kk,
+                                None, None, plan, lt, dtype, emit="z")
+                        ms = timed_scan(bwdx, (g_out, ktr), args.iters)
+                        print(f"  dx  {mode:9s}@{tm}: {ms * 1e3:7.0f} us")
+                    except Exception as e:
+                        print(f"  dx  {mode:9s}@{tm}: FAIL {str(e)[:60]}")
+            # dW pass
+            for mode in (["patches", "taps"]
+                         + (["qpatches"] if layer.sparse else [])):
+                for tm in (1024, 2048):
+                    os.environ["NQ_TAIL_MODE"] = \
+                        f"{layer.cin}x{layer.cout}={mode}@{tm}"
+                    tf._exec_cfg.cache_clear()
+                    try:
+                        gt2 = jnp.zeros((args.batch, layer.cout, plan.mp),
+                                        dtype) + 0.01
+                        def bwdw(i, x, g):
+                            return tf._conv_cf_dw(
+                                x * (1.0 + 1e-6 * i).astype(dtype), g,
+                                plan, layer)
+                        ms = timed_scan(bwdw, (xin, gt2), args.iters)
+                        print(f"  dw  {mode:9s}@{tm}: {ms * 1e3:7.0f} us")
+                    except Exception as e:
+                        print(f"  dw  {mode:9s}@{tm}: FAIL {str(e)[:60]}")
         os.environ.pop("NQ_TAIL_MODE", None)
         tf._exec_cfg.cache_clear()
 
