@@ -77,7 +77,12 @@ def child(progress_path: str, batch_size: int, iters: int) -> None:
     prog = open(progress_path, "a", buffering=1)
     last = {"t": None, "count": 0}
 
-    def epoch_hook(e, count):
+    def epoch_hook(e, count, st=None):
+        # the calibration loop is sync-free (it dispatches epochs ahead of the
+        # device); block on the epoch's output state so the per-epoch rate
+        # measures device throughput, not host dispatch
+        if st is not None:
+            jax.block_until_ready(jax.tree_util.tree_leaves(st)[0])
         now = time.time()
         if last["t"] is not None:
             rate = (count - last["count"]) / max(now - last["t"], 1e-9)

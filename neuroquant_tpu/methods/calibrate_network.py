@@ -173,7 +173,11 @@ def calibrate(args, cfg):
 
     _eval_block("Close quantization model", model, params, dataset, args, cfg)
 
-    qparams = quantize_params(params, spec, state, mode="uaq")
+    # jit the whole-model fake-quant: eagerly it is hundreds of small ops
+    # (FWHT butterflies, rounding) each paying a tunnel round trip — measured
+    # ~5 minutes of wall on the tunneled backend vs seconds as one program
+    qparams = jax.jit(lambda p, s: quantize_params(p, spec, s, mode="uaq"))(
+        params, state)
     _eval_block("Weight quantization model w/o opt", model, qparams,
                 dataset, args, cfg)
 
@@ -235,7 +239,9 @@ def calibrate(args, cfg):
         cf_pack=cf_pack)
     logging.info(f"Training complete in: {str(datetime.now() - start)}")
 
-    qparams = quantize_params(params, spec, state, mode=mode, soft=False)
+    qparams = jax.jit(
+        lambda p, s: quantize_params(p, spec, s, mode=mode, soft=False))(
+        params, state)
     _eval_block("Weight quantization model w/ opt", model, qparams,
                 dataset, args, cfg, args.dump_vis)
 

@@ -151,7 +151,9 @@ def main(argv):
     else:
         state = jax.tree_util.tree_map(jnp.asarray, artifact["quant_state"])
         mode = "adaround" if "w_alpha" in next(iter(state.values())) else "uaq"
-        qparams = quantize_params(params, spec, state, mode=mode, soft=False)
+        qparams = jax.jit(
+            lambda p, s: quantize_params(p, spec, s, mode=mode, soft=False))(
+            params, state)
 
     results, _, _ = common.evaluate(model, qparams, dataset, args, cfg,
                                     eval_fps=args.eval_fps)

@@ -169,10 +169,14 @@ def _run_phase(*, model, params, spec, state, cali_data, frames, train_ind,
         erng = jax.random.fold_in(rng, e)
         tstate, opt_state, count, logs = run_epoch(
             tstate, frozen, opt_state, count, erng, params, frames, cali_data)
+        # the step count is deterministic — compute it on the host instead of
+        # fetching the device counter, so the loop dispatches epochs ahead
+        # without a per-epoch tunnel round trip (the only blocking fetches
+        # left are the every-500-step log lines, ~1 per 7 epochs at batch 2)
+        c_end = count_offset + (e + 1 - start_epoch) * steps_per_epoch
         if epoch_cb is not None:
-            epoch_cb(e, _merge_state(tstate, frozen), int(count), opt_state)
+            epoch_cb(e, _merge_state(tstate, frozen), c_end, opt_state)
         # reproduce the reference's every-500-step loss lines (calib_model.py:86-88)
-        c_end = int(count)
         c_start = c_end - steps_per_epoch
         while next_log <= c_end:
             i = next_log - c_start - 1
@@ -182,7 +186,7 @@ def _run_phase(*, model, params, spec, state, cali_data, frames, train_ind,
             next_log += log_every
     state = _merge_state(tstate, frozen)
     state = jax.tree_util.tree_map(lambda x: x, state)
-    return state, int(count)
+    return state, count_offset + (epochs - start_epoch) * steps_per_epoch
 
 
 def model_reconstruction(model, params, spec: QuantSpec, state: Dict,
@@ -322,9 +326,11 @@ def model_reconstruction(model, params, spec: QuantSpec, state: Dict,
 
     def epoch_cb(e, st, count, opt_state):
         # epoch_hook first: benchmark/throughput probes observe every phase-2
-        # epoch boundary (count is synced, so the device work is done)
+        # epoch boundary. The loop no longer syncs per epoch (count is a host
+        # int), so hooks that time epochs receive the device state and must
+        # block_until_ready on it themselves (bench.py does).
         if epoch_hook is not None:
-            epoch_hook(e, count)
+            epoch_hook(e, count, st)
         if ckpt_every_epochs > 0 and (e + 1) % ckpt_every_epochs == 0:
             save_ckpt(e, st, count, opt_state)
 

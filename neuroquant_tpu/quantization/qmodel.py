@@ -188,13 +188,12 @@ def average_bits(params, spec: QuantSpec) -> float:
     return bits_total / n_total
 
 
-def collect_int_codes(params, spec: QuantSpec, state: Dict,
-                      mode: str = "adaround"):
-    """Per-layer integer codes for the entropy-coding stage
-    (get_quantized_param, quant_model.py:74-80). Weight codes are in the
-    quantization domain (Hadamard domain when spec.hadamard — the decoder
-    inverse-transforms after dequantization)."""
-    codes = {}
+@partial(jax.jit, static_argnames=("spec", "mode"))
+def _int_code_arrays(params, spec: QuantSpec, state: Dict, mode: str):
+    """One device program producing every layer's integer codes (eagerly the
+    per-layer FWHT + rounding chains are hundreds of small dispatches, ~20 s
+    through a tunneled backend)."""
+    arrays = {}
     for name, path, bits in zip(spec.layer_names, spec.layer_paths, spec.n_bits):
         layer = _get(params, path)
         w, b = layer["kernel"], layer["bias"]
@@ -208,6 +207,21 @@ def collect_int_codes(params, spec: QuantSpec, state: Dict,
                                       s["w_alpha"], bits)
             bc = Q.adaround_int_codes(b, s["b_delta"], s["b_zp"],
                                       s["b_alpha"], bits)
+        arrays[name] = (wc, bc)
+    return arrays
+
+
+def collect_int_codes(params, spec: QuantSpec, state: Dict,
+                      mode: str = "adaround"):
+    """Per-layer integer codes for the entropy-coding stage
+    (get_quantized_param, quant_model.py:74-80). Weight codes are in the
+    quantization domain (Hadamard domain when spec.hadamard — the decoder
+    inverse-transforms after dequantization)."""
+    arrays = _int_code_arrays(params, spec, state, mode)
+    codes = {}
+    for name, bits in zip(spec.layer_names, spec.n_bits):
+        wc, bc = arrays[name]
+        s = state[name]
         codes[name] = {"w": wc, "b": bc,
                        "w_delta": s["w_delta"], "w_zp": s["w_zp"],
                        "b_delta": s["b_delta"], "b_zp": s["b_zp"],

@@ -55,7 +55,9 @@ def run(tag: str, iters=ITERS, batch=BATCH):
 
     times = []
 
-    def hook(e, count):
+    def hook(e, count, st=None):
+        if st is not None:   # sync: the calib loop dispatches epochs ahead
+            jax.block_until_ready(jax.tree_util.tree_leaves(st)[0])
         times.append((time.time(), count))
 
     t0 = time.time()

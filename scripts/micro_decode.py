@@ -64,7 +64,9 @@ def bench_calib(overrides, tag, arch="hnerv", iters=264, batch=2, bits=None):
     train_ind = list(range(132))
     times = []
 
-    def hook(e, count):
+    def hook(e, count, st=None):
+        if st is not None:   # sync: the calib loop dispatches epochs ahead
+            jax.block_until_ready(jax.tree_util.tree_leaves(st)[0])
         times.append(time.time())
 
     model_reconstruction(model, params, spec, state, cali, frames, train_ind,

@@ -31,14 +31,19 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 RUNS = [
-    # (label, avg_bits, results dir glob)
-    ("W3",    3.00, "results/rd_W3333333"),
-    ("W4",    4.00, "results/rd_W4444444"),
+    # (label, avg_bits, results dir) — dirs produced by scripts/r3_queue2.sh
+    ("W3",    3.00, "results/rd_W3"),
+    ("W4",    4.00, "results/rd_W4"),
     ("omega W4.79", 4.79, "results/best_r3c"),
-    ("W4.96", 4.96, "results/rd_W4966666"),
-    ("W5",    5.00, "results/rd_W5555555"),
-    ("W6",    6.00, "results/rd_W6666666"),
+    ("W4.96", 4.96, "results/rd_W496"),
+    ("W5",    5.00, "results/rd_W5"),
+    ("W6",    6.00, "results/rd_W6"),
 ]
+
+# [2,3,4,6,4,4,2] is the omega stage's deliberately-bad candidate (reference
+# bit_assign.py:28-36) — off the RD frontier by construction. It anchors the
+# reference's 36.10 dB point but is excluded from OUR fitted curve.
+OFF_FRONTIER = {"W4.96"}
 
 REF_POINTS = {           # allocation -> reference quantized PSNR (CUDA logs)
     "omega W4.79": 37.19,
@@ -85,8 +90,9 @@ def main(argv):
     if len(ours) < 4:
         print(json.dumps({"error": "need >=4 points", "have": len(ours)}))
         return 1
-    bpps = [p[3] for p in ours]
-    psnrs = [p[2] for p in ours]
+    frontier = [p for p in ours if p[0] not in OFF_FRONTIER]
+    bpps = [p[3] for p in frontier]
+    psnrs = [p[2] for p in frontier]
 
     ref = [(lb, REF_POINTS[lb], bp) for lb, _, _, bp in ours
            if lb in REF_POINTS]
@@ -137,6 +143,11 @@ def main(argv):
     ax.grid(color="gray", linewidth=0.5, alpha=0.5, zorder=0)
     ax.plot(bpps, psnrs, "-D", color="darkorange", linewidth=2,
             label="this repo (TPU, one ckpt, per-rate PTQ)")
+    off = [p for p in ours if p[0] in OFF_FRONTIER]
+    if off:
+        ax.plot([p[3] for p in off], [p[2] for p in off], "D",
+                color="darkorange", markerfacecolor="none",
+                label="this repo, omega's rejected allocation")
     for lb, _, p, bp in ours:
         ax.annotate(lb, (bp, p), textcoords="offset points", xytext=(4, -9),
                     fontsize=7)
@@ -145,8 +156,8 @@ def main(argv):
                   "codes through this repo's coder)")
     ax.set_xlabel("bpp (this repo's arithmetic coder)")
     ax.set_ylabel("quantized PSNR (dB)")
-    ax.set_title(f"HNeRV-3M Bunny variable-rate PTQ — BD-rate {bd:+.1f}% "
-                 f"vs reference over [{lo:.2f}, {hi:.2f}] dB")
+    ax.set_title(f"HNeRV-3M Bunny variable-rate PTQ\nBD-rate {bd:+.1f}% "
+                 f"vs reference over [{lo:.2f}, {hi:.2f}] dB", fontsize=10)
     ax.legend(fontsize=7)
     fig.tight_layout()
     fig.savefig(args.out)
