@@ -105,10 +105,14 @@ def main():
             acc, _ = jax.lax.scan(body, 0.0, jnp.arange(n))
             return acc
 
-        jax.block_until_ready(loop(params, emb))
+        # block_until_ready does NOT synchronize through the tunneled
+        # backend — only a host fetch does (see scripts/tail_layer_bench.py):
+        # fetch the scalar accumulator and subtract the fetch round trip
+        from scripts.tail_layer_bench import fetch_baseline
+        float(loop(params, emb))
         t0 = time.time()
-        jax.block_until_ready(loop(params, emb))
-        ms = (time.time() - t0) / n * 1e3
+        float(loop(params, emb))
+        ms = (time.time() - t0 - fetch_baseline()) / n * 1e3
         print(f"{name:24s}: {ms:7.3f} ms  (+{ms - prev:6.3f})")
         prev = ms
 

@@ -131,7 +131,7 @@ def main():
         print(f"\nlayer {li}: side={layer.side} cin={layer.cin} "
               f"cout={layer.cout} sparse={'y' if sp else 'n'} "
               f"dense {dense_gf:.1f} GF real {real_gf:.1f} GF "
-              f"floor {real_gf * args.batch / peak_tf * 1e3 * 1e3:.0f} us")
+              f"floor {real_gf * 1e9 * args.batch / peak_tf * 1e6:.0f} us")
         modes = ["patches", "taps", "kn2row"]
         if sp is not None:
             modes.append("qpatches")
@@ -153,7 +153,7 @@ def main():
                             layer, dtype, emit="y")
                     ms = timed_scan(fwd, (xin, kks_c[li], bms_c[li]),
                                     args.iters)
-                    eff = real_gf * args.batch / peak_tf * 1e6 / (ms * 1e3)
+                    eff = (real_gf * 1e9 * args.batch / peak_tf) / (ms / 1e3)
                     print(f"  fwd {mode:9s}@{tm}: {ms * 1e3:7.0f} us  "
                           f"({eff * 100:4.1f}% of floor)")
                 except Exception as e:
@@ -216,7 +216,7 @@ def main():
                   else 2 * plan.mp * l.cout * l.taps * l.cin)
                  for l in plan.layers) / 1e9
     print(f"\nwhole tail fwd: {ms:.3f} ms "
-          f"({tot_gf * args.batch / peak_tf * 1e6 / (ms * 1e3) * 100:.1f}% "
+          f"({(tot_gf * 1e9 * args.batch / peak_tf) / (ms / 1e3) * 100:.1f}% "
           f"of {tot_gf:.0f} GF floor)")
 
     if args.bwd:
