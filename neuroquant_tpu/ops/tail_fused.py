@@ -278,8 +278,30 @@ def _exec_cfg(plan: TailPlan, layer: TailLayer, itemsize: int,
         c = cost(mode, tm)
         if best is None or c < best[0]:
             best = (c, ExecCfg(mode=mode, tm=tm))
-    assert best is not None, (layer, kind, "no mode fits VMEM")
+    if best is None:
+        raise ValueError(
+            f"fused tail: no execution mode fits the VMEM budget for "
+            f"layer {layer} ({kind}); gate with plan_feasible() and fall "
+            f"back to the jnp/XLA path")
     return best[1]
+
+
+def plan_feasible(plan: TailPlan, itemsize: int = 2) -> bool:
+    """True when every layer of the plan has a Pallas execution mode whose
+    working set fits the VMEM budget, for the forward (fwd1/fwd2), the
+    weight gradient (dw), and the transposed input gradient (dx) — i.e. the
+    whole custom-VJP program can run. Oversized configurations (e.g. an
+    early pack start whose k_p^2-inflated kernels alone exceed VMEM) fall
+    back to the jnp twin instead of failing at trace time."""
+    try:
+        for layer in plan.layers:
+            for kind in ("fwd1", "fwd2"):
+                _exec_cfg(plan, layer, itemsize, kind)
+            _exec_cfg(plan, layer, itemsize, "dw")
+            _exec_cfg(plan, layer.transposed(), itemsize, "fwd2")
+    except ValueError:
+        return False
+    return True
 
 
 @lru_cache(maxsize=64)
@@ -896,11 +918,27 @@ def _mxu_cast(x_cf, kks, bms, out_dtype):
             tuple(cast(bm) for bm in bms), jnp.bfloat16)
 
 
+def _effective_impl(impl: str, plan: TailPlan, dtype) -> str:
+    """Downgrade 'pallas' to the jnp twin when the plan has a layer no
+    Pallas mode can fit in VMEM (identical math, XLA-scheduled)."""
+    if impl != "pallas":
+        return impl
+    itemsize = (2 if dtype == jnp.float32 and jax.default_backend() == "tpu"
+                else jnp.dtype(dtype).itemsize)  # _mxu_cast makes fp32 bf16
+    if plan_feasible(plan, itemsize):
+        return impl
+    import warnings
+    warnings.warn(f"fused tail: plan {plan.h}x{plan.w} has a layer too "
+                  f"large for VMEM; using the XLA-scheduled jnp path")
+    return "jnp"
+
+
 def run_fused_tail(x, blocks, head, impl: str = "pallas", tm: int = 0):
     """Execute the tail on NHWC input x at the tail-entry resolution.
     Returns (packed head output NHWC (B, h, w, ch_packed), f_final)."""
     h, w = int(x.shape[1]), int(x.shape[2])
     plan, kks, bms, f, ch = plan_and_pack(h, w, blocks, head, tm=tm)
+    impl = _effective_impl(impl, plan, x.dtype)
     fn = tail_apply if impl == "pallas" else tail_apply_jnp
     dt = x.dtype
     x_cf, kks, bms, _ = _mxu_cast(nhwc_to_cf(x, plan), kks, bms, x.dtype)
@@ -916,6 +954,7 @@ def run_fused_tail_cf(x, blocks, head, impl: str = "pallas", tm: int = 0):
     invariant to it; see quantization/calibrate.py)."""
     h, w = int(x.shape[1]), int(x.shape[2])
     plan, kks, bms, f, ch = plan_and_pack(h, w, blocks, head, tm=tm)
+    impl = _effective_impl(impl, plan, x.dtype)
     fn = tail_apply if impl == "pallas" else tail_apply_jnp
     dt = x.dtype
     x_cf, kks, bms, _ = _mxu_cast(nhwc_to_cf(x, plan), kks, bms, x.dtype)
@@ -1022,6 +1061,7 @@ def run_fused_tail_frames(x, blocks, head, out_bias: str,
     the decode fast path (models/{hnerv,nerv}.py)."""
     h, w = int(x.shape[1]), int(x.shape[2])
     plan, kks, bms, f, ch = plan_and_pack(h, w, blocks, head, tm=tm)
+    impl = _effective_impl(impl, plan, x.dtype)
     fn = tail_apply if impl == "pallas" else tail_apply_jnp
     dt = x.dtype
     x_cf, kks_c, bms_c, _ = _mxu_cast(nhwc_to_cf(x, plan), kks, bms, x.dtype)

@@ -217,3 +217,42 @@ class TestModelIntegration:
         assert tf.resolve_impl("auto") is None
         assert tf.resolve_impl("off") is None
         assert tf.resolve_impl("pallas") == "pallas"
+
+
+class TestVmemFeasibilityFallback:
+    """A plan whose kernels cannot fit any Pallas execution mode in VMEM
+    must downgrade to the jnp twin instead of failing at trace time
+    (_exec_cfg raises; run_fused_tail* gate on plan_feasible)."""
+
+    def _big_case(self):
+        # 25-tap 256->1024 kernel: resident weights alone are 25MB fp32 /
+        # 13MB bf16 -- over the 9MB budget in every mode.
+        w0 = jnp.asarray(RNG.randn(5, 5, 256, 1024) * 0.02, jnp.float32)
+        b0 = jnp.asarray(RNG.randn(1024) * 0.01, jnp.float32)
+        wh = jnp.asarray(RNG.randn(3, 3, 256, 3) * 0.02, jnp.float32)
+        bh = jnp.asarray(RNG.randn(3) * 0.01, jnp.float32)
+        x = jnp.asarray(RNG.randn(1, H, W, 256) * 0.1, jnp.float32)
+        return x, [(w0, b0, 2)], (wh, bh)
+
+    def test_plan_infeasible_detected(self):
+        x, blocks, head = self._big_case()
+        plan, kks, bms, f, ch = tf.plan_and_pack(H, W, blocks, head, tm=128)
+        assert not tf.plan_feasible(plan, itemsize=2)
+        with pytest.raises(ValueError, match="VMEM"):
+            tf._exec_cfg(plan, plan.layers[0], 2, "fwd1")
+        assert tf._effective_impl("pallas", plan, jnp.float32) == "jnp"
+
+    def test_entry_point_falls_back(self):
+        x, blocks, head = self._big_case()
+        with pytest.warns(UserWarning, match="VMEM"):
+            out, f = tf.run_fused_tail(x, blocks, head, impl="pallas", tm=128)
+        ref, f2 = tf.run_fused_tail(x, blocks, head, impl="jnp", tm=128)
+        assert f == f2
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def test_small_plan_feasible(self, tail_case):
+        x, (w0, b0, w1, b1, wh, bh) = tail_case
+        plan, *_ = tf.plan_and_pack(H, W, [(w0, b0, 2), (w1, b1, 2)],
+                                    (wh, bh), tm=128)
+        assert tf.plan_feasible(plan, itemsize=2)
+        assert tf._effective_impl("pallas", plan, jnp.float32) == "pallas"
