@@ -188,7 +188,31 @@ class ExecCfg:
         return _r128(self.tm + 2 * plan.guard(layer))
 
 
-_VMEM_BUDGET = 9 * 1024 * 1024
+# 11.25MB of the 16MB VMEM modeled as usable by a call's working set: the
+# measured compile boundary on v5e sits near ~12-13MB (scripts/
+# tail_layer_bench.py NQ_TAIL_MODE sweeps: patches@2048 on the 56->176
+# layer, ~11MB modeled, compiles and is the fastest config; @4096 fails),
+# leaving headroom for Mosaic's own scratch.
+_VMEM_BUDGET = int(11.25 * 1024 * 1024)
+
+# Cost-model constants, calibrated against scripts/tail_layer_bench.py on a
+# v5e chip (2026-08, fixed-units run): VPU lane-rotation assembly of patch
+# tensors costs ~64-120 MAC-equivalents per copied element (Mosaic lowers a
+# misaligned lane slice as shift+select over vregs), taps-mode slices feed
+# the MXU more cheaply, and kn2row pays fp32 read-add-write on the shifted
+# z rows. DMA-assembled patches trade that VPU work for HBM re-reads at
+# ~120 MAC-equivalents per byte (98.5 G-MAC/ms vs 0.82 GB/ms).
+_ASM_PATCHES = 96          # per assembled element (patches/qpatches)
+_ASM_TAPS = 32             # per sliced element (taps)
+_ASM_KN2ROW = 560          # per shifted fp32 output element (kn2row)
+_HBM_MAC_PER_BYTE = 120
+
+
+def _cin_pad(cin: int, itemsize: int) -> int:
+    """Per-tap row stride in the DMA-assembled patches buffer: the sublane
+    tile (8 fp32 / 16 bf16 rows) so every tap's DMA lands tile-aligned."""
+    st = 32 // itemsize
+    return -(-cin // st) * st
 
 
 @lru_cache(maxsize=512)
@@ -210,15 +234,23 @@ def _exec_cfg(plan: TailPlan, layer: TailLayer, itemsize: int,
         k_o, cin_o, cout_o, qtaps = sp
         f2, k2cin = len(qtaps), k_o * k_o * cin_o
 
+    kdp = taps * _cin_pad(cin8, itemsize)       # dpatches K dimension
+
     def vmem(mode, tm):
         span = _r128(tm + 2 * g)
-        v = 2 * cin8 * span * itemsize          # double-buffered input
+        if mode == "dpatches":
+            # patches stream straight from HBM (no input-tile buffer)
+            v = 2 * kdp * tm * itemsize
+        else:
+            v = 2 * cin8 * span * itemsize      # double-buffered input
         v += (k2cin * cout_o if mode == "qpatches"
+              else kdp * cout8 if mode == "dpatches"
               else taps * cin8 * cout8) * itemsize   # resident weights
         if kind == "dw":
             v += 2 * cout8 * tm * itemsize      # g tiles (double-buffered)
             v += (cout_o * k2cin if mode == "qpatches"
                   else cout8 * layer.k_dim if mode == "patches"
+                  else cout8 * kdp if mode == "dpatches"
                   else taps * cout8 * cin8) * 4   # accumulated dW
         else:
             n_out = 2 if kind == "fwd2" else 1  # z / gelu(z) output tiles
@@ -227,7 +259,7 @@ def _exec_cfg(plan: TailPlan, layer: TailLayer, itemsize: int,
             # (one live concat result), so only one accumulator-sized buffer
             v += (1 if mode == "qpatches" else 2) * cout8 * tm * 4
             if mode == "kn2row":
-                v += taps * cout8 * span * 4    # fp32 pre-shift product
+                v += taps * cout8 * span * itemsize  # pre-shift partials
         if mode == "patches":
             v += taps * cin8 * tm * itemsize
         elif mode == "qpatches":
@@ -240,14 +272,28 @@ def _exec_cfg(plan: TailPlan, layer: TailLayer, itemsize: int,
             # skips the dense packed kernel's zero blocks (f^2 flop waste).
             # The pipeline-fill penalty amortizes across the f^2 back-to-back
             # same-weight matmuls, hence rows(cout_o * f^2).
-            c = f2 * _r128(k2cin) * _r8(cout_o) * rows(_r8(cout_o) * f2)
+            c = (f2 * _r128(k2cin) * _r8(cout_o) * rows(_r8(cout_o) * f2)
+                 + _ASM_PATCHES * f2 * k2cin)
         elif mode == "patches":
-            c = _r128(taps * cin8) * cout8 * rows(cout8)
+            c = (_r128(taps * cin8) * cout8 * rows(cout8)
+                 + _ASM_PATCHES * taps * cin8)
+        elif mode == "dpatches":
+            # DMA-assembled patches: no VPU assembly; the DMA re-reads the
+            # input taps times from HBM, hidden under compute unless the
+            # arithmetic intensity is too low (then the HBM term binds)
+            c = max(_r128(kdp) * cout8 * rows(cout8),
+                    kdp * itemsize * _HBM_MAC_PER_BYTE)
         elif mode == "taps":
-            c = taps * _r128(cin8) * cout8 * rows(cout8)
+            # back-to-back per-tap dots share pipeline state: weight-load
+            # amortization scales with the TOTAL streamed rows, not per-dot
+            # (measured: taps beats patches for the 176->56 dx despite 25
+            # separate small-R dots)
+            c = (taps * _r128(cin8) * cout8 * rows(taps * cout8)
+                 + _ASM_TAPS * taps * cin8)
         else:
             span_f = _r128(tm + 2 * g) / tm
-            c = _r128(cin8) * taps * cout8 * rows(taps * cout8) * span_f
+            c = (_r128(cin8) * taps * cout8 * rows(taps * cout8) * span_f
+                 + _ASM_KN2ROW * taps * cout8)
         # mild penalty for small tiles (per-tile fixed overheads)
         return c * (1.0 + 0.2 * (plan.tm / tm - 1.0) / 15.0)
 
@@ -261,6 +307,11 @@ def _exec_cfg(plan: TailPlan, layer: TailLayer, itemsize: int,
             return ExecCfg(mode=mode.strip(),
                            tm=int(tms) if tms else plan.tm)
 
+    # NOTE: 'dpatches' (DMA-assembled patches) is implemented and exact but
+    # NOT offered here: Mosaic requires HBM DMA slice offsets on the lane
+    # axis to be 128-aligned ("failed to prove tile index divisible by the
+    # tiling"), and conv tap shifts are +-1/+-Wp. It remains reachable via
+    # NQ_TAIL_MODE for interpret-mode tests and future aligned layouts.
     modes = ("patches", "taps") if kind == "dw" else \
         ("patches", "taps", "kn2row")
     if sp is not None and _r8(cout_o) >= 16:
@@ -367,8 +418,16 @@ def _guard(x, plan: TailPlan, layer: TailLayer, cfg: ExecCfg):
 # Weight operand layouts (XLA-level, differentiable transposes of the
 # CANONICAL padded packed kernel kk: (side, side, cin8, cout8)).
 # --------------------------------------------------------------------------
-def _kk_to_op(kk, layer: TailLayer, mode: str):
+def _kk_to_op(kk, layer: TailLayer, mode: str, itemsize: int = 2):
     side, _, cin, cout = kk.shape
+    if mode == "dpatches":
+        # K index = (ty*side + tx) * cin_pad + ci: each tap block padded to
+        # the sublane tile so its DMA lands tile-aligned; the pad rows are
+        # zero in the weights (the patches scratch holds garbage there)
+        cp = _cin_pad(cin, itemsize)
+        w = kk.transpose(3, 0, 1, 2).reshape(cout, layer.taps, cin)
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, cp - cin)))
+        return w.reshape(cout, layer.taps * cp)
     if mode == "qpatches":
         # gather the shared original-kernel operand (cout_o, k^2*cin_o) from
         # group q=0's nonzero blocks (every q holds the same values) —
@@ -377,7 +436,7 @@ def _kk_to_op(kk, layer: TailLayer, mode: str):
         blocks = [kk[py, px, gin * cin_o:(gin + 1) * cin_o, :cout_o]
                   for (py, px, gin) in qtaps[0]]
         return jnp.transpose(jnp.concatenate(blocks, axis=0), (1, 0))
-    if mode == "patches":
+    if mode in ("patches", "xpatches"):
         # K index = (ty*side + tx) * cin + ci
         return kk.transpose(3, 0, 1, 2).reshape(cout, layer.k_dim)
     # rows = (ty*side + tx) * cout + co (kn2row) / leading taps dim (taps)
@@ -408,6 +467,10 @@ def _op_to_kk_grad(dw, layer: TailLayer, mode: str):
         return dkk
     if mode == "patches":
         dw = dw.reshape(layer.cout, side, side, layer.cin)
+        return dw.transpose(1, 2, 3, 0)
+    if mode == "dpatches":
+        cp = dw.shape[1] // layer.taps
+        dw = dw.reshape(layer.cout, side, side, cp)[..., :layer.cin]
         return dw.transpose(1, 2, 3, 0)
     dw = dw.reshape(side, side, layer.cout, layer.cin)
     return dw.transpose(0, 1, 3, 2)
@@ -443,6 +506,58 @@ def _stream_tile(x_hbm, x_vmem, sem, *, n_tiles, tm, span):
     return x_vmem[l % 2]
 
 
+def _gelu_tile_inplace(x_vmem, slot, rows: int, chunk: int = 64):
+    """Apply GELU to the streamed (cin, span) VMEM tile in-place, in row
+    chunks: one full-tile _gelu would materialize several (cin, span) fp32
+    poly temporaries at once (the 592-channel head tile blows Mosaic's
+    scoped vmem); chunking bounds the live temporaries to (chunk, span)."""
+    for r0 in range(0, rows, chunk):
+        r1 = min(r0 + chunk, rows)
+        x_vmem[slot, r0:r1, :] = _gelu(x_vmem[slot, r0:r1, :])
+
+
+def _patch_dmas(x_hbm, p_vmem, sem, l, n_tiles, tm, shifts, cin, cin_p,
+                guard, slot):
+    """One sliced DMA per tap: HBM row block at the tap's lane shift ->
+    the tap's (tile-aligned) row block of the patches buffer. The DMA
+    engine does the lane-offset relayout the VPU assembly used to pay for."""
+    b = l // n_tiles
+    i = l % n_tiles
+    return [pltpu.make_async_copy(
+        x_hbm.at[b, :, pl.ds(pl.multiple_of(i * tm, 128) + guard + s, tm)],
+        p_vmem.at[slot, pl.ds(t * cin_p, cin), :],
+        sem.at[slot]) for t, s in enumerate(shifts)]
+
+
+def _stream_patches(x_hbm, p_vmem, sem, *, n_tiles, tm, shifts, cin, cin_p,
+                    guard):
+    """Double-buffered DMA-assembled patches: start next tile's taps while
+    waiting for this tile's. Returns the (taps*cin_p, tm) VMEM view."""
+    l = pl.program_id(0)
+    nl = pl.num_programs(0)
+    args = (x_hbm, p_vmem, sem)
+    kw = dict(n_tiles=n_tiles, tm=tm, shifts=shifts, cin=cin, cin_p=cin_p,
+              guard=guard)
+
+    @pl.when(l == 0)
+    def _():
+        if cin_p != cin:
+            # tap-block pad rows are never DMA'd; zero them once so the
+            # (zero-weight) pad contraction can't meet NaN scratch garbage
+            p_vmem[...] = jnp.zeros_like(p_vmem)
+        for d in _patch_dmas(*args, 0, slot=0, **kw):
+            d.start()
+
+    @pl.when(l + 1 < nl)
+    def _():
+        for d in _patch_dmas(*args, l + 1, slot=(l + 1) % 2, **kw):
+            d.start()
+
+    for d in _patch_dmas(*args, l, slot=l % 2, **kw):
+        d.wait()
+    return p_vmem[l % 2]
+
+
 def _accumulate(xt, w_ref, patches, *, shifts, guard, tm, mode,
                 layer: TailLayer):
     """The conv tile compute: (cout, tm) fp32 accumulator from the guarded
@@ -473,13 +588,33 @@ def _accumulate(xt, w_ref, patches, *, shifts, guard, tm, mode,
                 xt[:, guard + s: guard + s + tm])
         return jnp.dot(w_ref[...], patches[...],
                        preferred_element_type=jnp.float32)
+    if mode == "xpatches":
+        # DIAGNOSTIC (NQ_TAIL_MODE only, wrong numerics): the patches matmul
+        # against whatever the scratch holds — isolates assembly cost
+        return jnp.dot(w_ref[...], patches[...],
+                       preferred_element_type=jnp.float32)
+    if mode == "xtaps":
+        # DIAGNOSTIC (NQ_TAIL_MODE only, wrong numerics): taps matmuls on a
+        # single aligned slice — isolates the per-tap lane-rotation cost
+        acc = jnp.zeros((layer.cout, tm), jnp.float32)
+        xa = xt[:, guard:guard + tm]
+        for t in range(layer.taps):
+            acc = acc + jnp.dot(w_ref[t], xa,
+                                preferred_element_type=jnp.float32)
+        return acc
     if mode == "kn2row":
         w = w_ref[...].reshape(layer.taps * layer.cout, layer.cin)
-        z = jnp.dot(w, xt, preferred_element_type=jnp.float32)
+        # store the per-tap partials in the input dtype (bf16 on TPU): the
+        # rounding of each partial before the fp32 shift-accumulate is of
+        # the same order as the bf16 operand rounding already in the dot,
+        # and it halves the (taps*cout, span) VMEM block, enabling the
+        # larger lane tiles the head layer wants
+        z = jnp.dot(w, xt, preferred_element_type=jnp.float32) \
+            .astype(xt.dtype)
         acc = jnp.zeros((layer.cout, tm), jnp.float32)
         for t, s in enumerate(shifts):
             acc = acc + z[t * layer.cout:(t + 1) * layer.cout,
-                          guard + s: guard + s + tm]
+                          guard + s: guard + s + tm].astype(jnp.float32)
         return acc
     acc = jnp.zeros((layer.cout, tm), jnp.float32)
     for t, s in enumerate(shifts):
@@ -489,11 +624,27 @@ def _accumulate(xt, w_ref, patches, *, shifts, guard, tm, mode,
 
 
 def _fwd_kernel(x_hbm, w_ref, b_ref, mask_ref, m_ref, z_ref, y_ref,
-                x_vmem, patches, sem, *, shifts, guard, span, tm, n_tiles,
-                mode, layer: TailLayer, out_dtype):
-    xt = _stream_tile(x_hbm, x_vmem, sem, n_tiles=n_tiles, tm=tm, span=span)
-    acc = _accumulate(xt, w_ref, patches, shifts=shifts, guard=guard, tm=tm,
-                      mode=mode, layer=layer)
+                *scr, shifts, guard, span, tm, n_tiles,
+                mode, layer: TailLayer, out_dtype, act_in: bool = False):
+    if mode == "dpatches":
+        p_vmem, sem = scr
+        pat = _stream_patches(x_hbm, p_vmem, sem, n_tiles=n_tiles, tm=tm,
+                              shifts=shifts, cin=layer.cin,
+                              cin_p=p_vmem.shape[1] // layer.taps,
+                              guard=guard)
+        if act_in:
+            pat = _gelu(pat)    # elementwise commutes with patch assembly
+        acc = jnp.dot(w_ref[...], pat, preferred_element_type=jnp.float32)
+    else:
+        x_vmem, patches, sem = scr
+        _stream_tile(x_hbm, x_vmem, sem, n_tiles=n_tiles, tm=tm, span=span)
+        slot = pl.program_id(0) % 2
+        if act_in:
+            # zero borders stay zero: gelu(0) = 0
+            _gelu_tile_inplace(x_vmem, slot, layer.cin)
+        xt = x_vmem[slot]
+        acc = _accumulate(xt, w_ref, patches, shifts=shifts, guard=guard,
+                          tm=tm, mode=mode, layer=layer)
     if b_ref is not None:
         acc = acc + b_ref[...].astype(jnp.float32)
     if m_ref is not None:
@@ -510,9 +661,25 @@ def _fwd_kernel(x_hbm, w_ref, b_ref, mask_ref, m_ref, z_ref, y_ref,
         y_ref[0] = _gelu(acc).astype(out_dtype)
 
 
-def _dw_kernel(x_hbm, g_ref, dw_ref, db_ref, x_vmem, patches, sem, *,
-               shifts, guard, span, tm, n_tiles, mode, layer: TailLayer):
-    xt = _stream_tile(x_hbm, x_vmem, sem, n_tiles=n_tiles, tm=tm, span=span)
+def _dw_kernel(x_hbm, g_ref, dw_ref, db_ref, *scr,
+               shifts, guard, span, tm, n_tiles, mode, layer: TailLayer,
+               act_in: bool = False):
+    if mode == "dpatches":
+        p_vmem, sem = scr
+        xt = None
+        pat = _stream_patches(x_hbm, p_vmem, sem, n_tiles=n_tiles, tm=tm,
+                              shifts=shifts, cin=layer.cin,
+                              cin_p=p_vmem.shape[1] // layer.taps,
+                              guard=guard)
+        if act_in:
+            pat = _gelu(pat)
+    else:
+        x_vmem, patches, sem = scr
+        _stream_tile(x_hbm, x_vmem, sem, n_tiles=n_tiles, tm=tm, span=span)
+        slot = pl.program_id(0) % 2
+        if act_in:
+            _gelu_tile_inplace(x_vmem, slot, layer.cin)
+        xt = x_vmem[slot]
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -521,7 +688,10 @@ def _dw_kernel(x_hbm, g_ref, dw_ref, db_ref, x_vmem, patches, sem, *,
 
     g = g_ref[0]
     contract = (((1,), (1,)), ((), ()))
-    if mode == "qpatches":
+    if mode == "dpatches":
+        dw_ref[...] += jax.lax.dot_general(
+            g, pat, contract, preferred_element_type=jnp.float32)
+    elif mode == "qpatches":
         # accumulate the ORIGINAL-kernel gradient (cout_o, k^2 cin_o): per
         # group q, g's q-rows x that q's patches; summed over q and tiles
         # (the canonical-dkk scatter happens in _op_to_kk_grad)
@@ -554,10 +724,16 @@ def _interpret() -> bool:
 
 def _scratch(plan, layer, cfg, dtype):
     span = cfg.span(plan, layer)
+    if cfg.mode == "dpatches":
+        cp = _cin_pad(layer.cin, jnp.dtype(dtype).itemsize)
+        return [
+            pltpu.VMEM((2, layer.taps * cp, cfg.tm), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
     if cfg.mode == "qpatches":
         k_o, cin_o, _, _ = layer.sparse
         pat = pltpu.VMEM((k_o * k_o * cin_o, cfg.tm), dtype)
-    elif cfg.mode == "patches":
+    elif cfg.mode in ("patches", "xpatches"):
         pat = pltpu.VMEM((layer.k_dim, cfg.tm), dtype)
     else:
         pat = pltpu.VMEM((8, 128), dtype)                     # unused stub
@@ -569,16 +745,17 @@ def _scratch(plan, layer, cfg, dtype):
 
 
 def _conv_cf(x, kk, bias, out_mul, plan: TailPlan, layer: TailLayer,
-             out_dtype, emit: str = "z"):
+             out_dtype, emit: str = "z", act_in: bool = False):
     """One channels-first conv layer: x (B, cin, Mp) -> masked pre-activation
-    'z' (B, cout, Mp), its activation 'y' = gelu(z), or the pair 'zy' (the
-    VJP-fwd path, which needs the residual). out_mul (B, cout, Mp) triggers
-    the convT GELU' epilogue."""
+    'z' (B, cout, Mp), its activation 'y' = gelu(z), or the pair 'zy'
+    (legacy residual+activation pair). act_in applies GELU to the streamed
+    input tile in-kernel (the VJP-fwd chain passes pre-activation z between
+    layers). out_mul (B, cout, Mp) triggers the convT GELU' epilogue."""
     b = x.shape[0]
     cfg = _exec_cfg(plan, layer, jnp.dtype(x.dtype).itemsize,
                     "fwd2" if emit == "zy" else "fwd1")
     xg = _guard(x, plan, layer, cfg)
-    wm = _kk_to_op(kk, layer, cfg.mode)
+    wm = _kk_to_op(kk, layer, cfg.mode, jnp.dtype(x.dtype).itemsize)
     nt = plan.mp // cfg.tm
     mask = border_mask(plan, out_dtype).reshape(1, plan.mp)
     kern = partial(_fwd_kernel,
@@ -586,7 +763,7 @@ def _conv_cf(x, kk, bias, out_mul, plan: TailPlan, layer: TailLayer,
                            else plan.shifts(layer)),
                    guard=plan.guard(layer), span=cfg.span(plan, layer),
                    tm=cfg.tm, n_tiles=nt, mode=cfg.mode, layer=layer,
-                   out_dtype=out_dtype)
+                   out_dtype=out_dtype, act_in=act_in)
     grid = (b * nt,)
     x_spec = pl.BlockSpec(memory_space=pl.ANY)
     w_spec = pl.BlockSpec(wm.shape, lambda l: (0,) * wm.ndim,
@@ -641,9 +818,12 @@ def _conv_cf(x, kk, bias, out_mul, plan: TailPlan, layer: TailLayer,
     return out
 
 
-def _conv_cf_dw(x, g, plan: TailPlan, layer: TailLayer):
+def _conv_cf_dw(x, g, plan: TailPlan, layer: TailLayer,
+                act_in: bool = False):
     """dW/db for one layer: x input (B, cin, Mp), g cotangent (B, cout, Mp)
-    -> (canonical dkk fp32, db (cout, 1) fp32)."""
+    -> (canonical dkk fp32, db (cout, 1) fp32). act_in applies GELU to the
+    streamed x tile in-kernel (the stored residuals are pre-activation),
+    replacing a full-array XLA gelu materialization per layer in the bwd."""
     b = x.shape[0]
     cfg = _exec_cfg(plan, layer, jnp.dtype(x.dtype).itemsize, "dw")
     xg = _guard(x, plan, layer, cfg)
@@ -657,6 +837,11 @@ def _conv_cf_dw(x, g, plan: TailPlan, layer: TailLayer):
         dw_shape = (layer.cout, layer.k_dim)
         dw_spec = pl.BlockSpec(dw_shape, lambda l: (0, 0),
                                memory_space=pltpu.VMEM)
+    elif cfg.mode == "dpatches":
+        cp = _cin_pad(layer.cin, jnp.dtype(x.dtype).itemsize)
+        dw_shape = (layer.cout, layer.taps * cp)
+        dw_spec = pl.BlockSpec(dw_shape, lambda l: (0, 0),
+                               memory_space=pltpu.VMEM)
     else:
         dw_shape = (layer.taps, layer.cout, layer.cin)
         dw_spec = pl.BlockSpec(dw_shape, lambda l: (0, 0, 0),
@@ -665,7 +850,8 @@ def _conv_cf_dw(x, g, plan: TailPlan, layer: TailLayer):
                    shifts=(plan.qshifts(layer) if cfg.mode == "qpatches"
                            else plan.shifts(layer)),
                    guard=plan.guard(layer), span=cfg.span(plan, layer),
-                   tm=cfg.tm, n_tiles=nt, mode=cfg.mode, layer=layer)
+                   tm=cfg.tm, n_tiles=nt, mode=cfg.mode, layer=layer,
+                   act_in=act_in)
     dw, db = pl.pallas_call(
         kern, grid=(b * nt,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
@@ -689,7 +875,9 @@ def _conv_cf_dw(x, g, plan: TailPlan, layer: TailLayer):
 # jnp reference implementation (test oracle + non-TPU fallback path)
 # --------------------------------------------------------------------------
 def _conv_cf_jnp(x, kk, bias, out_mul, plan: TailPlan, layer: TailLayer,
-                 out_dtype, emit: str = "z"):
+                 out_dtype, emit: str = "z", act_in: bool = False):
+    if act_in:
+        x = _gelu(x)
     shifts = plan.shifts(layer)
     g = plan.guard(layer)
     wm = _kk_to_op(kk, layer, "taps")
@@ -716,26 +904,27 @@ def _conv_cf_jnp(x, kk, bias, out_mul, plan: TailPlan, layer: TailLayer,
 # --------------------------------------------------------------------------
 def _tail_fwd_impl(plan: TailPlan, conv, x_cf, kks, biases,
                    keep_residuals: bool = True):
-    """keep_residuals=True (the VJP-fwd path) stores each layer's
-    pre-activation z; the primal/decode path emits only what the next layer
-    consumes (gelu(z) in-kernel), halving output HBM traffic."""
+    """Primal/decode path (keep_residuals=False): each layer emits only what
+    the next consumes -- gelu(z) in-kernel -- halving output HBM traffic vs
+    a z+y pair. VJP-fwd path (keep_residuals=True): each layer emits ONLY
+    the pre-activation z it must store as a residual, and the NEXT layer
+    applies GELU to its streamed input tile in-kernel (act_in) -- the same
+    activation count as the primal, without the second (cout, Mp) output the
+    old 'zy' emission wrote to HBM per fat layer (measured ~150us/frame on
+    the 176->592 layer alone)."""
     h = x_cf
     residuals = [x_cf]
     for li, layer in enumerate(plan.layers):
         next_act = (li < len(plan.layers) - 1
                     and plan.layers[li + 1].gelu_in)
-        if next_act:
-            emit = "zy" if keep_residuals else "y"
+        if keep_residuals:
+            h = conv(h, kks[li], biases[li], None, plan, layer, x_cf.dtype,
+                     emit="z", act_in=layer.gelu_in)
+            if li < len(plan.layers) - 1:
+                residuals.append(h)
         else:
-            emit = "z"
-        out = conv(h, kks[li], biases[li], None, plan, layer, x_cf.dtype,
-                   emit=emit)
-        if emit == "zy":
-            z, h = out           # pre-activation residual + activated input
-        else:
-            z = h = out
-        if keep_residuals and li < len(plan.layers) - 1:
-            residuals.append(z)
+            h = conv(h, kks[li], biases[li], None, plan, layer, x_cf.dtype,
+                     emit="y" if next_act else "z")
     return h, residuals
 
 
@@ -767,8 +956,7 @@ def _tail_apply_bwd(plan, res, g_out):
     for li in range(len(plan.layers) - 1, -1, -1):
         layer = plan.layers[li]
         x_in = residuals[li]
-        act_x = _gelu(x_in) if layer.gelu_in else x_in
-        dkk, db = _conv_cf_dw(act_x, g, plan, layer)
+        dkk, db = _conv_cf_dw(x_in, g, plan, layer, act_in=layer.gelu_in)
         dkks[li] = dkk.astype(kks[li].dtype)
         dbs[li] = (db.astype(biases[li].dtype)
                    if biases[li] is not None else None)

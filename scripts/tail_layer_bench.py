@@ -132,7 +132,7 @@ def main():
               f"cout={layer.cout} sparse={'y' if sp else 'n'} "
               f"dense {dense_gf:.1f} GF real {real_gf:.1f} GF "
               f"floor {real_gf * 1e9 * args.batch / peak_tf * 1e6:.0f} us")
-        modes = ["patches", "taps", "kn2row"]
+        modes = ["patches", "xpatches", "taps", "xtaps", "kn2row"]
         if sp is not None:
             modes.append("qpatches")
         xin = xs[li]
@@ -165,7 +165,7 @@ def main():
             g_out = jnp.asarray(rng.randn(args.batch, layer.cout, plan.mp)
                                 * .01, dtype)
             ktr = tf._kk_transpose(kks_c[li])
-            for mode in (["patches", "taps", "kn2row"]
+            for mode in (["patches", "dpatches", "taps", "kn2row"]
                          + (["qpatches"] if lt.sparse else [])):
                 for tm in (1024, 2048):
                     os.environ["NQ_TAIL_MODE"] = \
@@ -181,7 +181,7 @@ def main():
                     except Exception as e:
                         print(f"  dx  {mode:9s}@{tm}: FAIL {str(e)[:60]}")
             # dW pass
-            for mode in (["patches", "taps"]
+            for mode in (["patches", "dpatches", "taps"]
                          + (["qpatches"] if layer.sparse else [])):
                 for tm in (1024, 2048):
                     os.environ["NQ_TAIL_MODE"] = \
