@@ -215,6 +215,38 @@ def _cin_pad(cin: int, itemsize: int) -> int:
     return -(-cin // st) * st
 
 
+# (cin8, cout8, side, sparse?, "fwd"|"dw") -> (mode, tm), measured best on
+# v5e (2026-08 sweep, /tmp-logged in RESULTS.md "per-layer sweep"): the
+# model's VMEM estimate is per-mode approximate, so configs near the budget
+# (patches@2048 on 56->176: 370us vs 296 at @1024) or beyond it (kn2row@4096
+# on the 592->48 head: 437us vs the model pick taps@2048 at 476) get pinned
+# from measurement instead. Keys cover HNeRV-3M and NeRV-3M tails, fwd AND
+# the transposed dx geometries (e.g. 48x592 = head dx: qpatches 184us vs
+# taps 473).
+_SWEEP_PINS = {
+    # HNeRV-3M Bunny tail (plan 160x320, layers 56->176->592->48)
+    (56, 176, 5, False, "fwd"): ("patches", 1024),
+    (56, 176, 5, False, "dw"): ("patches", 1024),
+    (176, 56, 5, False, "fwd"): ("taps", 2048),      # L0 dx
+    (176, 592, 3, True, "fwd"): ("qpatches", 1024),
+    (176, 592, 3, True, "dw"): ("qpatches", 1024),
+    (592, 176, 3, True, "fwd"): ("taps", 2048),      # L1 dx
+    # head fwd NOT pinned: the sweep's kn2row@4096 (437us vs taps@2048's
+    # 476) OOMs scoped vmem under the production bias+mask epilogue
+    (592, 48, 3, True, "dw"): ("taps", 2048),
+    (48, 592, 3, True, "fwd"): ("qpatches", 2048),   # head dx
+    # NeRV-3M Bunny tail (plan 160x320, layers 24->96->384->48)
+    (24, 96, 3, False, "fwd"): ("patches", 4096),
+    (24, 96, 3, False, "dw"): ("patches", 1024),
+    (96, 24, 3, False, "fwd"): ("taps", 2048),       # L0 dx
+    (96, 384, 3, True, "fwd"): ("qpatches", 1024),
+    (96, 384, 3, True, "dw"): ("qpatches", 1024),
+    (384, 96, 3, True, "fwd"): ("taps", 2048),       # L1 dx
+    (384, 48, 3, True, "dw"): ("taps", 1024),
+    (48, 384, 3, True, "fwd"): ("qpatches", 2048),   # head dx
+}
+
+
 @lru_cache(maxsize=512)
 def _exec_cfg(plan: TailPlan, layer: TailLayer, itemsize: int,
               kind: str) -> ExecCfg:
@@ -306,6 +338,16 @@ def _exec_cfg(plan: TailPlan, layer: TailLayer, itemsize: int,
             mode, _, tms = val.partition("@")
             return ExecCfg(mode=mode.strip(),
                            tm=int(tms) if tms else plan.tm)
+
+    # Sweep-verified pins for the flagship tail geometries (bf16 operands,
+    # scripts/tail_layer_bench.py --bwd on a v5e chip): where a measured
+    # config beats the model's pick, use it directly. Every pinned config
+    # compiled and ran on hardware; the guard below skips a pin whose tile
+    # does not divide this plan's Mp (other crops fall through to the model).
+    pin = _SWEEP_PINS.get((cin8, cout8, layer.side, sp is not None,
+                           "dw" if kind == "dw" else "fwd"))
+    if pin is not None and itemsize == 2 and plan.mp % pin[1] == 0:
+        return ExecCfg(mode=pin[0], tm=pin[1])
 
     # NOTE: 'dpatches' (DMA-assembled patches) is implemented and exact but
     # NOT offered here: Mosaic requires HBM DMA slice offsets on the lane

@@ -10,9 +10,12 @@ Usage: python scripts/measure_fps.py <hnerv_ckpt> <nerv_ckpt> <calib_artifact>
 """
 
 import logging
+import os
 import pickle
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 logging.basicConfig(stream=sys.stderr, level=logging.INFO)
 
