@@ -225,7 +225,7 @@ def _cin_pad(cin: int, itemsize: int) -> int:
 # taps 473).
 _SWEEP_PINS = {
     # HNeRV-3M Bunny tail (plan 160x320, layers 56->176->592->48)
-    (56, 176, 5, False, "fwd"): ("patches", 1024),
+    (56, 176, 5, False, "fwd"): ("ppatches", 2048),  # pipelined: 247us
     (56, 176, 5, False, "dw"): ("patches", 1024),
     (176, 56, 5, False, "fwd"): ("taps", 2048),      # L0 dx
     (176, 592, 3, True, "fwd"): ("qpatches", 1024),
@@ -281,7 +281,7 @@ def _exec_cfg(plan: TailPlan, layer: TailLayer, itemsize: int,
         if kind == "dw":
             v += 2 * cout8 * tm * itemsize      # g tiles (double-buffered)
             v += (cout_o * k2cin if mode == "qpatches"
-                  else cout8 * layer.k_dim if mode == "patches"
+                  else cout8 * layer.k_dim if mode in ("patches", "ppatches")
                   else cout8 * kdp if mode == "dpatches"
                   else taps * cout8 * cin8) * 4   # accumulated dW
         else:
@@ -294,8 +294,11 @@ def _exec_cfg(plan: TailPlan, layer: TailLayer, itemsize: int,
                 v += taps * cout8 * span * itemsize  # pre-shift partials
         if mode == "patches":
             v += taps * cin8 * tm * itemsize
+        elif mode == "ppatches":
+            v += 2 * ((taps + 1) // 2) * cin8 * tm * itemsize  # 2 slots
         elif mode == "qpatches":
-            v += k2cin * tm * itemsize
+            # 2 pipelined slots in the dW kernel, 1 in the fwd
+            v += (2 if kind == "dw" else 1) * k2cin * tm * itemsize
         return v
 
     def cost(mode, tm):
@@ -309,6 +312,12 @@ def _exec_cfg(plan: TailPlan, layer: TailLayer, itemsize: int,
         elif mode == "patches":
             c = (_r128(taps * cin8) * cout8 * rows(cout8)
                  + _ASM_PATCHES * taps * cin8)
+        elif mode == "ppatches":
+            # split-K pipelined patches: one extra 128-pad on K, assembly
+            # overlapped with the other chunk's matmul (half counted)
+            th = (taps + 1) // 2
+            c = ((_r128(th * cin8) + _r128((taps - th) * cin8)) * cout8
+                 * rows(cout8) + _ASM_PATCHES * taps * cin8 // 2)
         elif mode == "dpatches":
             # DMA-assembled patches: no VPU assembly; the DMA re-reads the
             # input taps times from HBM, hidden under compute unless the
@@ -478,7 +487,7 @@ def _kk_to_op(kk, layer: TailLayer, mode: str, itemsize: int = 2):
         blocks = [kk[py, px, gin * cin_o:(gin + 1) * cin_o, :cout_o]
                   for (py, px, gin) in qtaps[0]]
         return jnp.transpose(jnp.concatenate(blocks, axis=0), (1, 0))
-    if mode in ("patches", "xpatches"):
+    if mode in ("patches", "ppatches", "xpatches"):
         # K index = (ty*side + tx) * cin + ci
         return kk.transpose(3, 0, 1, 2).reshape(cout, layer.k_dim)
     # rows = (ty*side + tx) * cout + co (kn2row) / leading taps dim (taps)
@@ -507,7 +516,7 @@ def _op_to_kk_grad(dw, layer: TailLayer, mode: str):
             dkk = dkk.at[py, px, gin * cin_o:(gin + 1) * cin_o,
                          :cout_o].set(jnp.transpose(blk, (1, 0)))
         return dkk
-    if mode == "patches":
+    if mode in ("patches", "ppatches"):
         dw = dw.reshape(layer.cout, side, side, layer.cin)
         return dw.transpose(1, 2, 3, 0)
     if mode == "dpatches":
@@ -608,15 +617,19 @@ def _accumulate(xt, w_ref, patches, *, shifts, guard, tm, mode,
         # sparse-aware packed conv: per output subposition group q, one
         # (cout_o, k^2 cin_o) @ (k^2 cin_o, tm) matmul over the k^2 nonzero
         # (shift, input-group) blocks — skips the dense packed kernel's f^2
-        # zero-block flop waste (the same weight operand serves every q)
+        # zero-block flop waste (the same weight operand serves every q).
+        # Sequential single-slot assembly: the 2-slot pipelined variant
+        # (kept in the dW kernel, where it wins 687->650us) measures ~3%
+        # SLOWER here — the per-group dot results feeding the concat keep
+        # Mosaic from overlapping the next group's copies.
         k_o, cin_o, cout_o, qtaps = layer.sparse
         accs = []
         for qsh in shifts:                     # plan.qshifts(layer)
             for t, (s, gin) in enumerate(qsh):
-                patches[t * cin_o:(t + 1) * cin_o, :] = (
+                patches[0, t * cin_o:(t + 1) * cin_o, :] = (
                     xt[gin * cin_o:(gin + 1) * cin_o,
                        guard + s: guard + s + tm])
-            accs.append(jnp.dot(w_ref[...], patches[...],
+            accs.append(jnp.dot(w_ref[...], patches[0],
                                 preferred_element_type=jnp.float32))
         acc = jnp.concatenate(accs, axis=0)    # (f^2 * cout_o, tm)
         if acc.shape[0] < layer.cout:
@@ -624,16 +637,33 @@ def _accumulate(xt, w_ref, patches, *, shifts, guard, tm, mode,
                 [acc, jnp.zeros((layer.cout - acc.shape[0], tm),
                                 jnp.float32)], axis=0)
         return acc
-    if mode == "patches":
-        for t, s in enumerate(shifts):
-            patches[t * layer.cin:(t + 1) * layer.cin, :] = (
-                xt[:, guard + s: guard + s + tm])
-        return jnp.dot(w_ref[...], patches[...],
-                       preferred_element_type=jnp.float32)
+    if mode in ("patches", "ppatches"):
+        # ppatches: the tap set split in two half-K chunks, two slots,
+        # chunk h+1 assembled while chunk h multiplies (same overlap as
+        # qpatches above, at the cost of one extra 128-pad on K)
+        chunks = ([tuple(range(layer.taps))] if mode == "patches" else
+                  [tuple(range(0, (layer.taps + 1) // 2)),
+                   tuple(range((layer.taps + 1) // 2, layer.taps))])
+
+        def asm(h, slot):
+            for j, t in enumerate(chunks[h]):
+                patches[slot, j * layer.cin:(j + 1) * layer.cin, :] = (
+                    xt[:, guard + shifts[t]: guard + shifts[t] + tm])
+
+        asm(0, 0)
+        acc = None
+        for h, ch in enumerate(chunks):
+            if h + 1 < len(chunks):
+                asm(h + 1, (h + 1) % 2)
+            w = w_ref[:, ch[0] * layer.cin: (ch[-1] + 1) * layer.cin]
+            d = jnp.dot(w, patches[h % 2, :len(ch) * layer.cin, :],
+                        preferred_element_type=jnp.float32)
+            acc = d if acc is None else acc + d
+        return acc
     if mode == "xpatches":
         # DIAGNOSTIC (NQ_TAIL_MODE only, wrong numerics): the patches matmul
         # against whatever the scratch holds — isolates assembly cost
-        return jnp.dot(w_ref[...], patches[...],
+        return jnp.dot(w_ref[...], patches[0],
                        preferred_element_type=jnp.float32)
     if mode == "xtaps":
         # DIAGNOSTIC (NQ_TAIL_MODE only, wrong numerics): taps matmuls on a
@@ -736,22 +766,41 @@ def _dw_kernel(x_hbm, g_ref, dw_ref, db_ref, *scr,
     elif mode == "qpatches":
         # accumulate the ORIGINAL-kernel gradient (cout_o, k^2 cin_o): per
         # group q, g's q-rows x that q's patches; summed over q and tiles
-        # (the canonical-dkk scatter happens in _op_to_kk_grad)
+        # (the canonical-dkk scatter happens in _op_to_kk_grad). Same
+        # two-slot assembly/matmul software pipeline as the forward.
         k_o, cin_o, cout_o, _ = layer.sparse
-        for q, qsh in enumerate(shifts):
-            for t, (s, gin) in enumerate(qsh):
-                patches[t * cin_o:(t + 1) * cin_o, :] = (
+
+        def asm(q, slot):
+            for t, (s, gin) in enumerate(shifts[q]):
+                patches[slot, t * cin_o:(t + 1) * cin_o, :] = (
                     xt[gin * cin_o:(gin + 1) * cin_o,
                        guard + s: guard + s + tm])
+
+        asm(0, 0)
+        for q in range(len(shifts)):
+            if q + 1 < len(shifts):
+                asm(q + 1, (q + 1) % 2)
             dw_ref[...] += jax.lax.dot_general(
-                g[q * cout_o:(q + 1) * cout_o], patches[...], contract,
+                g[q * cout_o:(q + 1) * cout_o], patches[q % 2], contract,
                 preferred_element_type=jnp.float32)
-    elif mode == "patches":
-        for t, s in enumerate(shifts):
-            patches[t * layer.cin:(t + 1) * layer.cin, :] = (
-                xt[:, guard + s: guard + s + tm])
-        dw_ref[...] += jax.lax.dot_general(
-            g, patches[...], contract, preferred_element_type=jnp.float32)
+    elif mode in ("patches", "ppatches"):
+        chunks = ([tuple(range(layer.taps))] if mode == "patches" else
+                  [tuple(range(0, (layer.taps + 1) // 2)),
+                   tuple(range((layer.taps + 1) // 2, layer.taps))])
+
+        def asm(h, slot):
+            for j, t in enumerate(chunks[h]):
+                patches[slot, j * layer.cin:(j + 1) * layer.cin, :] = (
+                    xt[:, guard + shifts[t]: guard + shifts[t] + tm])
+
+        asm(0, 0)
+        for h, ch in enumerate(chunks):
+            if h + 1 < len(chunks):
+                asm(h + 1, (h + 1) % 2)
+            dw_ref[:, ch[0] * layer.cin: (ch[-1] + 1) * layer.cin] += \
+                jax.lax.dot_general(
+                    g, patches[h % 2, :len(ch) * layer.cin, :], contract,
+                    preferred_element_type=jnp.float32)
     else:
         for t, s in enumerate(shifts):
             dw_ref[t] += jax.lax.dot_general(
@@ -764,7 +813,7 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _scratch(plan, layer, cfg, dtype):
+def _scratch(plan, layer, cfg, dtype, dw=False):
     span = cfg.span(plan, layer)
     if cfg.mode == "dpatches":
         cp = _cin_pad(layer.cin, jnp.dtype(dtype).itemsize)
@@ -773,12 +822,17 @@ def _scratch(plan, layer, cfg, dtype):
             pltpu.SemaphoreType.DMA((2,)),
         ]
     if cfg.mode == "qpatches":
+        # 2 slots only for the pipelined dW kernel; the fwd assembles
+        # group-by-group into one slot (see _accumulate)
         k_o, cin_o, _, _ = layer.sparse
-        pat = pltpu.VMEM((k_o * k_o * cin_o, cfg.tm), dtype)
+        pat = pltpu.VMEM((2 if dw else 1, k_o * k_o * cin_o, cfg.tm), dtype)
+    elif cfg.mode == "ppatches":
+        pat = pltpu.VMEM((2, ((layer.taps + 1) // 2) * layer.cin, cfg.tm),
+                         dtype)
     elif cfg.mode in ("patches", "xpatches"):
-        pat = pltpu.VMEM((layer.k_dim, cfg.tm), dtype)
+        pat = pltpu.VMEM((1, layer.k_dim, cfg.tm), dtype)
     else:
-        pat = pltpu.VMEM((8, 128), dtype)                     # unused stub
+        pat = pltpu.VMEM((1, 8, 128), dtype)                  # unused stub
     return [
         pltpu.VMEM((2, layer.cin, span), dtype),
         pat,
@@ -875,7 +929,7 @@ def _conv_cf_dw(x, g, plan: TailPlan, layer: TailLayer,
         dw_shape = (cout_o, k_o * k_o * cin_o)
         dw_spec = pl.BlockSpec(dw_shape, lambda l: (0, 0),
                                memory_space=pltpu.VMEM)
-    elif cfg.mode == "patches":
+    elif cfg.mode in ("patches", "ppatches"):
         dw_shape = (layer.cout, layer.k_dim)
         dw_spec = pl.BlockSpec(dw_shape, lambda l: (0, 0),
                                memory_space=pltpu.VMEM)
@@ -905,7 +959,7 @@ def _conv_cf_dw(x, g, plan: TailPlan, layer: TailLayer,
                                 memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct(dw_shape, jnp.float32),
                    jax.ShapeDtypeStruct((layer.cout, 1), jnp.float32)),
-        scratch_shapes=_scratch(plan, layer, cfg, xg.dtype),
+        scratch_shapes=_scratch(plan, layer, cfg, xg.dtype, dw=True),
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),

@@ -103,7 +103,8 @@ class TestOpsEquivalence:
         import os
         x, ws = tail_case
         ref = _fused(x, *ws, apply_fn=tf.tail_apply_jnp)
-        for mode in ("patches", "dpatches", "taps", "kn2row", "qpatches"):
+        for mode in ("patches", "ppatches", "dpatches", "taps", "kn2row",
+                     "qpatches"):
             tf._exec_cfg.cache_clear()
             os.environ["NQ_TAIL_MODE"] = f"16x48={mode}@128"
             try:
