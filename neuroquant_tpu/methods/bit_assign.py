@@ -80,6 +80,12 @@ def assign(args, cfg):
     common.split_dataset(args, dataset)
 
     rng = jax.random.PRNGKey(args.seed)
+    # The omega criterion is an HVP — jax.jvp over jax.grad (sensitivity.py).
+    # The fused Pallas tail carries a jax.custom_vjp, which supports reverse
+    # mode only; forward-over-reverse through it fails at trace time. Force
+    # the jnp twin (identical math, XLA autodiff) for this stage — the HVP
+    # runs for ~10 batches, so the fused tail's speed is immaterial here.
+    cfg["fused_tail"] = "jnp"
     model, params = common.setup_run(args, cfg, rng)
     args.outf = os.path.join(
         args.outf, "sensitivity-{}_{}-init_batch{}_CW".format(
