@@ -49,10 +49,58 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def fused_tail_feasible(t, kernels, strides, in_channels, out_channels,
+                        crop_h: int, crop_w: int,
+                        head_kernel: int = 3, head_out: int = 3) -> bool:
+    """True when the fused Pallas tail has a VMEM-feasible execution mode
+    for every layer of the pack-start-t plan (bf16 operands). Pure shape
+    math — no arrays are built. Models consult this to decide between the
+    Pallas CF tail and the XLA packed execution for decode."""
+    return _fused_tail_feasible(
+        int(t), tuple(int(k) for k in kernels),
+        tuple(int(s) for s in strides),
+        tuple(int(c) for c in in_channels),
+        tuple(int(c) for c in out_channels),
+        int(crop_h), int(crop_w), int(head_kernel), int(head_out))
+
+
+@lru_cache(maxsize=256)
+def _fused_tail_feasible(t, kernels, strides, in_channels, out_channels,
+                         crop_h: int, crop_w: int,
+                         head_kernel: int, head_out: int) -> bool:
+    from neuroquant_tpu.ops.tail_fused import (
+        _VMEM_BUDGET, plan_feasible, plan_geometry)
+
+    s = int(np.prod([int(x) for x in strides[t:]]))
+    h, w = crop_h // s, crop_w // s
+    # cheap precheck before building sparse tap specs (enumeration is
+    # O(k^2 f^2) per layer — an f=480 full-pack candidate must be rejected
+    # without it): the double-buffered bf16 input tile at the MINIMUM lane
+    # tile already exceeds VMEM when cin*f^2 is large enough, regardless of
+    # execution mode
+    f = 1
+    for j in range(t, len(kernels)):
+        if 2 * int(in_channels[j]) * f * f * 128 * 2 > _VMEM_BUDGET:
+            return False
+        f *= int(strides[j])
+    if 2 * int(out_channels[-1]) * f * f * 128 * 2 > _VMEM_BUDGET:
+        return False
+    bg = [(int(kernels[j]), int(in_channels[j]),
+           int(out_channels[j]) * int(strides[j]) ** 2, int(strides[j]))
+          for j in range(t, len(kernels))]
+    try:
+        plan, _ = plan_geometry(h, w, bg,
+                                (head_kernel, int(out_channels[-1]),
+                                 head_out))
+    except AssertionError:
+        return False
+    return plan_feasible(plan, 2)
+
+
 def plan_packed_tail(kernels, strides, in_channels, out_channels,
                      crop_h: int, crop_w: int,
                      head_kernel: int = 3, head_out: int = 3,
-                     prefer_packed: bool = False):
+                     prefer_packed: bool = False, feasible=None):
     """Choose the block index whose PixelShuffle starts the packed tail by
     minimizing an MXU padded-cost model.
 
@@ -113,11 +161,33 @@ def plan_packed_tail(kernels, strides, in_channels, out_channels,
         # do on the stride grid) and strides are isotropic ints
         candidates[t] = plan_cost(t)
     valid = {t: c for t, c in candidates.items() if c is not None}
+    if feasible is not None:
+        # restrict packed candidates to pack starts the fused Pallas tail
+        # can execute (a cost-model winner whose packed kernels exceed VMEM
+        # would silently demote the WHOLE tail to the jnp fallback — e.g.
+        # UVG 960x1920's f=6 start); keep the unrestricted set only when
+        # no packed start is feasible at all
+        ok = {t: c for t, c in valid.items() if t is None or feasible(t)}
+        if any(t is not None for t in ok):
+            valid = ok
     # prefer_packed breaks MXU-cost ties toward packing — used when the
     # fused Pallas tail executes the packed segment (its costs are not the
     # XLA padded-cost model's: no 128-lane channel padding, fused epilogues)
     return min(valid, key=lambda t: (valid[t], (t is None) if prefer_packed
                                      else (t is not None)))
+
+
+@lru_cache(maxsize=128)
+def _auto_pack_start(kernels, strides, in_channels, out_channels,
+                     crop_h: int, crop_w: int):
+    """Cached 'auto' resolution (flax setup calls resolve_pack_start on
+    every trace). The pack start follows the XLA packed-cost model alone:
+    when the winning start's plan is NOT fused-feasible (UVG's f=6), the
+    models fall back to the XLA packed execution for decode — measured
+    faster (149.9 FPS) than either the jnp CF twin at the same start
+    (87.6) or the Pallas tail at a shallower feasible start (102.7)."""
+    return plan_packed_tail(
+        kernels, strides, in_channels, out_channels, crop_h, crop_w)
 
 
 def resolve_pack_start(packed_tail, kernels, strides, dec_norm: str,
@@ -127,8 +197,13 @@ def resolve_pack_start(packed_tail, kernels, strides, dec_norm: str,
     if dec_norm != "none" or str(packed_tail).lower() in ("off", "false", "none"):
         return None
     if str(packed_tail).lower() in ("auto", "true"):
-        return plan_packed_tail(kernels, strides, in_channels, out_channels,
-                                crop_h, crop_w)
+        # gate candidates on fused-tail VMEM feasibility (deterministic
+        # shape math, backend-independent — the same plan resolves on CPU
+        # tests and TPU runs)
+        return _auto_pack_start(
+            tuple(int(k) for k in kernels), tuple(int(s) for s in strides),
+            tuple(int(c) for c in in_channels),
+            tuple(int(c) for c in out_channels), int(crop_h), int(crop_w))
     t = int(packed_tail)
     if not 0 <= t < len(kernels):
         # a config typo here would silently disable packing — a ~5x decode

@@ -1098,6 +1098,44 @@ def _pad_kk(kk, cin8: int, cout8: int):
                         (0, cout8 - kk.shape[3])))
 
 
+def plan_geometry(h: int, w: int, block_geoms, head_geom, tm: int = 0):
+    """TailPlan from pure shape info — no weight arrays, no device work.
+
+    block_geoms: [(k, cin, cout*r*r, r), ...] mirroring plan_and_pack's
+    blocks; head_geom: (k, cin, cout). Returns (plan, f_final). Used by
+    packed_decode.resolve_pack_start to test fused-tail VMEM feasibility
+    of a candidate pack start before committing to it (equivalence with
+    plan_and_pack's plan is asserted in tests/test_tail_fused.py)."""
+    from neuroquant_tpu.ops.packed_decode import (
+        compose_shuffle_perm, identity_perm, packed_kernel_geometry,
+        packed_sparse_taps,
+    )
+
+    def sspec(k, ff, prm, cin_o, cout_o):
+        key = tuple(int(v) for v in prm) if prm is not None else None
+        qt_fwd, qt_t = packed_sparse_taps(int(k), int(ff), key)
+        return (int(k), int(cin_o), int(cout_o), qt_fwd, qt_t)
+
+    tm = tm or _auto_tm(h, w)
+    f, perm = 1, None
+    geoms = []
+    for (k, cin, cout_rr, r) in block_geoms:
+        k, cin, cout_rr, r = int(k), int(cin), int(cout_rr), int(r)
+        if f == 1:
+            geoms.append((k, (k - 1) // 2, cin, cout_rr, None))
+        else:
+            kp, off = packed_kernel_geometry(k, f)
+            geoms.append((kp, off, cin * f * f, cout_rr * f * f,
+                          sspec(k, f, perm, cin, cout_rr)))
+        perm = compose_shuffle_perm(identity_perm(f), f, r)
+        f *= r
+    kh, cin_h, cout_h = (int(v) for v in head_geom)
+    kp, off = packed_kernel_geometry(kh, f)
+    geoms.append((kp, off, cin_h * f * f, cout_h * f * f,
+                  sspec(kh, f, perm, cin_h, cout_h)))
+    return _make_plan(h, w, tuple(geoms), tm), f
+
+
 def plan_and_pack(h: int, w: int, blocks, head, tm: int = 0):
     """Build the static TailPlan + per-layer canonical kernel operands for a
     decoder tail entered UNPACKED at resolution (h, w).

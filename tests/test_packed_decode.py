@@ -156,6 +156,50 @@ class TestPlan:
                              [145] + chans[:-1], chans, 640, 1280)
         assert t == 3
 
+    def test_uvg_feasibility_informs_impl_not_start(self):
+        """UVG 960x1920 (strides [5,4,4,3,2]): the MXU cost model prefers
+        the f=6 start (t=3), whose packed kernels exceed Pallas VMEM.
+        Measured on v5e, the best decode is STILL t=3 via the XLA packed
+        execution (149.9 FPS vs 102.7 for a shallower t=4 Pallas plan and
+        87.6 for the jnp CF twin) — so 'auto' keeps the cost-model start
+        and fused_tail_feasible instead drives the models' _fused_impl
+        fallback (None -> XLA packed decode, jnp CF calibration loss)."""
+        from neuroquant_tpu.ops.packed_decode import (
+            fused_tail_feasible, resolve_pack_start)
+
+        ker, st = [1, 3, 5, 5, 5], [5, 4, 4, 3, 2]
+        chans = [77, 64, 53, 44, 37]
+        ich = [92] + chans[:-1]
+        assert not fused_tail_feasible(3, ker, st, ich, chans, 960, 1920)
+        assert fused_tail_feasible(4, ker, st, ich, chans, 960, 1920)
+        t = resolve_pack_start("auto", ker, st, "none", ich, chans, 960, 1920)
+        assert t == 3
+        # Bunny: same start, and its f=4 plan IS Pallas-feasible
+        t = resolve_pack_start("auto", [1, 3, 5, 5, 5], [5, 4, 4, 2, 2],
+                               "none", ich, chans, 640, 1280)
+        assert t == 3
+        assert fused_tail_feasible(3, [1, 3, 5, 5, 5], [5, 4, 4, 2, 2],
+                                   ich, chans, 640, 1280)
+
+    def test_plan_geometry_matches_plan_and_pack(self):
+        """plan_geometry (pure shape math, used for feasibility gating)
+        must produce the identical TailPlan that plan_and_pack derives
+        from real weight arrays."""
+        from neuroquant_tpu.ops.tail_fused import plan_and_pack, plan_geometry
+
+        rng = np.random.RandomState(0)
+        blocks, geoms = [], []
+        for (k, cin, cout, r) in [(5, 24, 40, 2), (3, 10, 48, 2)]:
+            blocks.append((jnp.asarray(rng.randn(k, k, cin, cout),
+                                       jnp.float32),
+                           jnp.asarray(rng.randn(cout), jnp.float32), r))
+            geoms.append((k, cin, cout, r))
+        head = (jnp.asarray(rng.randn(3, 3, 12, 3), jnp.float32),
+                jnp.asarray(rng.randn(3), jnp.float32))
+        plan, _, _, f, _ = plan_and_pack(40, 80, blocks, head)
+        pg, fg = plan_geometry(40, 80, geoms, (3, 12, 3))
+        assert pg == plan and fg == f
+
     def test_tiny_channels_pack_head_only(self):
         # sub-128 channels: packing the convs only adds FLOPs, but absorbing
         # the LAST block's shuffle still wins — the 3-output-channel head at
