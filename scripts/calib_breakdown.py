@@ -74,14 +74,43 @@ def main():
           lambda st, p, f, c, idx: model.apply(
               qp, c[idx], method="decode").mean() + st["head_layer"]["w_alpha"].sum() * 0)
 
+    # the PRODUCTION loss: packed channels-first domain (calibrate.py)
+    from neuroquant_tpu.models import tail_plan_for
+    from neuroquant_tpu.ops.tail_fused import border_mask, pack_targets
+    plan, fpk, ch = tail_plan_for("hnerv", cfg)
+    gt_cf = pack_targets(frames, plan, fpk)
+    mask_cf = border_mask(plan, ch=ch)
+    denom = 640 * 1280
+
     def full_loss(st, p, f, c, idx):
         q = quantize_params(p, spec, st, mode="adaround")
-        pred = model.apply(q, c[idx], method="decode")
-        return lp_loss(pred, f[idx], p=2.0) + round_loss(st, spec, 10.0, 0.01)
+        pred = model.apply(q, c[idx], method="decode_cf") * mask_cf
+        rec = jnp.sum((pred - gt_cf[idx] * mask_cf) ** 2) / (idx.shape[0]
+                                                             * denom)
+        return rec + round_loss(st, spec, 10.0, 0.01)
 
-    bench("loss fwd (quant + decode)", full_loss)
-    bench("value_and_grad", lambda st, p, f, c, idx:
-          jax.value_and_grad(full_loss)(st, p, f, c, idx)[0])
+    bench("loss fwd (packed cf, production)", full_loss)
+
+    def vag_consumed(st, p, f, c, idx):
+        loss, g = jax.value_and_grad(full_loss)(st, p, f, c, idx)
+        # consume every grad leaf so nothing is DCE'd
+        return loss + sum(jnp.sum(x) * 1e-30
+                          for x in jax.tree_util.tree_leaves(g))
+
+    bench("fwd+bwd (grads consumed)", vag_consumed)
+
+    def vag_tail_only(st, p, f, c, idx):
+        # tail-only fwd+bwd for comparison: gradient wrt the cf input of
+        # the fused tail (prefix excluded from the backward)
+        q = quantize_params(p, spec, st, mode="adaround")
+        def tail_loss(emb):
+            pred = model.apply(q, emb, method="decode_cf") * mask_cf
+            return jnp.sum((pred - gt_cf[idx] * mask_cf) ** 2) / (
+                idx.shape[0] * denom)
+        loss, g = jax.value_and_grad(tail_loss)(c[idx])
+        return loss + jnp.sum(g) * 1e-30
+
+    bench("fwd+bwd wrt embedding only", vag_tail_only)
 
     opt = optax.adam(0.003, eps=1e-8)
 
