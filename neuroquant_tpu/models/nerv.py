@@ -109,26 +109,20 @@ class NeRV(nn.Module):
                                    self.cfg.decoder_channels(), x)
 
     def _fused_impl(self):
-        from neuroquant_tpu.ops.packed_decode import fused_tail_feasible
+        from neuroquant_tpu.ops.packed_decode import gate_fused_impl
         from neuroquant_tpu.ops.tail_fused import resolve_impl
 
         c = self.cfg
         if self.pack_start is None or c.dec_acts != "gelu":
             return None
-        impl = resolve_impl(c.fused_tail)
-        if impl == "pallas":
-            # when the cost-model pack start is not VMEM-feasible for the
-            # Pallas kernels (e.g. UVG's f=6 tail), decode falls back to
-            # the XLA packed execution (measured 149.9 FPS at UVG vs 87.6
-            # for the jnp CF twin); decode_cf still uses the jnp twin for
-            # the packed-domain calibration loss (measured 32.1 it/s)
-            chans = c.decoder_channels()
-            if not fused_tail_feasible(
-                    self.pack_start, c.dec_kernels, c.dec_strides,
-                    [c.dec_in_channel] + chans[:-1], chans,
-                    c.crop_h, c.crop_w):
-                return None
-        return impl
+        # VMEM-infeasible plans (e.g. UVG's f=6 tail) demote to None:
+        # decode falls back to the XLA packed execution, decode_cf to the
+        # jnp twin for the calibration loss (UVG study, RESULTS.md)
+        chans = c.decoder_channels()
+        return gate_fused_impl(
+            resolve_impl(c.fused_tail), self.pack_start, c.dec_kernels,
+            c.dec_strides, [c.dec_in_channel] + chans[:-1], chans,
+            c.crop_h, c.crop_w)
 
     def decode_cf(self, img_embed):
         """Decode to the packed channels-first head output with `out_bias`

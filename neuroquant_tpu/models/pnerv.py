@@ -215,6 +215,20 @@ def _tail_params(m, x):
     return collect_tail_params(m.dec_layers, m.head_layer, n_fused, chans, x)
 
 
+def _gated_impl(m):
+    """resolve_impl with the VMEM-feasibility demotion (gate_fused_impl):
+    an infeasible one-block plan decodes through the XLA packed path
+    instead of silently dropping to the jnp CF twin (same fix as
+    hnerv/nerv._fused_impl)."""
+    from neuroquant_tpu.ops.packed_decode import gate_fused_impl
+    from neuroquant_tpu.ops.tail_fused import resolve_impl
+
+    c = m.cfg
+    ngf, r = int(c.kfc_h_w_c[2]), int(c.kfc_strides[-1])
+    return gate_fused_impl(resolve_impl(c.fused_tail), 0, [3], [r], [ngf],
+                           [ngf], c.crop_h, c.crop_w)
+
+
 def _packed_tail(m, x):
     """Run the post-fusion tail packed: fused Pallas/jnp kernels when the
     activation chain allows, else packed XLA convs (models/hnerv.py:138-165
@@ -223,7 +237,7 @@ def _packed_tail(m, x):
     from neuroquant_tpu.ops.tail_fused import resolve_impl, run_fused_tail_frames
 
     n_fused = len(m.cfg.kfc_strides) - 1
-    impl = resolve_impl(m.cfg.fused_tail)
+    impl = _gated_impl(m)
     if impl is not None:
         blocks, head = _tail_params(m, x)
         return run_fused_tail_frames(x, blocks, head, "sigmoid", impl=impl)
@@ -238,7 +252,7 @@ def _packed_tail_cf(m, x):
     from neuroquant_tpu.ops.tail_fused import resolve_impl, run_fused_tail_cf
 
     assert m.tail_packed, "decode_cf requires the packed PNeRV tail"
-    impl = resolve_impl(m.cfg.fused_tail) or "jnp"
+    impl = _gated_impl(m) or "jnp"
     blocks, head = _tail_params(m, x)
     z, _, _, _ = run_fused_tail_cf(x, blocks, head, impl=impl)
     return out_img(z, "sigmoid")

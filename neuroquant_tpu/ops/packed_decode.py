@@ -97,10 +97,25 @@ def _fused_tail_feasible(t, kernels, strides, in_channels, out_channels,
     return plan_feasible(plan, 2)
 
 
+def gate_fused_impl(impl, t, kernels, strides, in_channels, out_channels,
+                    crop_h: int, crop_w: int,
+                    head_kernel: int = 3, head_out: int = 3):
+    """Demote impl='pallas' to None when the pack-start-t plan is not
+    VMEM-feasible, so model decode falls back to the XLA packed execution
+    (measured faster than the jnp CF twin at infeasible geometries — UVG
+    study in RESULTS.md: 149.9 vs 87.6 FPS). Other impls pass through;
+    decode_cf callers keep their own `or "jnp"` for the calibration loss."""
+    if impl == "pallas" and not fused_tail_feasible(
+            t, kernels, strides, in_channels, out_channels, crop_h, crop_w,
+            head_kernel, head_out):
+        return None
+    return impl
+
+
 def plan_packed_tail(kernels, strides, in_channels, out_channels,
                      crop_h: int, crop_w: int,
                      head_kernel: int = 3, head_out: int = 3,
-                     prefer_packed: bool = False, feasible=None):
+                     prefer_packed: bool = False):
     """Choose the block index whose PixelShuffle starts the packed tail by
     minimizing an MXU padded-cost model.
 
@@ -161,15 +176,6 @@ def plan_packed_tail(kernels, strides, in_channels, out_channels,
         # do on the stride grid) and strides are isotropic ints
         candidates[t] = plan_cost(t)
     valid = {t: c for t, c in candidates.items() if c is not None}
-    if feasible is not None:
-        # restrict packed candidates to pack starts the fused Pallas tail
-        # can execute (a cost-model winner whose packed kernels exceed VMEM
-        # would silently demote the WHOLE tail to the jnp fallback — e.g.
-        # UVG 960x1920's f=6 start); keep the unrestricted set only when
-        # no packed start is feasible at all
-        ok = {t: c for t, c in valid.items() if t is None or feasible(t)}
-        if any(t is not None for t in ok):
-            valid = ok
     # prefer_packed breaks MXU-cost ties toward packing — used when the
     # fused Pallas tail executes the packed segment (its costs are not the
     # XLA padded-cost model's: no 128-lane channel padding, fused epilogues)
@@ -197,9 +203,8 @@ def resolve_pack_start(packed_tail, kernels, strides, dec_norm: str,
     if dec_norm != "none" or str(packed_tail).lower() in ("off", "false", "none"):
         return None
     if str(packed_tail).lower() in ("auto", "true"):
-        # gate candidates on fused-tail VMEM feasibility (deterministic
-        # shape math, backend-independent — the same plan resolves on CPU
-        # tests and TPU runs)
+        # pure cost-model choice; fused-tail VMEM feasibility instead
+        # drives the models' execution-path fallback (gate_fused_impl)
         return _auto_pack_start(
             tuple(int(k) for k in kernels), tuple(int(s) for s in strides),
             tuple(int(c) for c in in_channels),

@@ -355,7 +355,12 @@ def _exec_cfg(plan: TailPlan, layer: TailLayer, itemsize: int,
     # does not divide this plan's Mp (other crops fall through to the model).
     pin = _SWEEP_PINS.get((cin8, cout8, layer.side, sp is not None,
                            "dw" if kind == "dw" else "fwd"))
-    if pin is not None and itemsize == 2 and plan.mp % pin[1] == 0:
+    if (pin is not None and itemsize == 2
+            and (plan.h, plan.w, plan.tm) == (160, 320, 2048)):
+        # pins apply ONLY at the plan geometry they were measured and
+        # compile-verified at (Bunny 160x320, tm 2048) — a larger crop with
+        # the same channel geometry grows the input-tile span and could
+        # OOM a near-budget pin; other crops use the cost model
         return ExecCfg(mode=pin[0], tm=pin[1])
 
     # NOTE: 'dpatches' (DMA-assembled patches) is implemented and exact but
@@ -365,6 +370,8 @@ def _exec_cfg(plan: TailPlan, layer: TailLayer, itemsize: int,
     # NQ_TAIL_MODE for interpret-mode tests and future aligned layouts.
     modes = ("patches", "taps") if kind == "dw" else \
         ("patches", "taps", "kn2row")
+    if taps >= 2:
+        modes = modes + ("ppatches",)
     if sp is not None and _r8(cout_o) >= 16:
         # tiny-row groups (e.g. the 3-channel head) starve the MXU and blow
         # Mosaic's scoped-vmem stack through the f^2-way concat of sub-8-row
@@ -640,8 +647,10 @@ def _accumulate(xt, w_ref, patches, *, shifts, guard, tm, mode,
     if mode in ("patches", "ppatches"):
         # ppatches: the tap set split in two half-K chunks, two slots,
         # chunk h+1 assembled while chunk h multiplies (same overlap as
-        # qpatches above, at the cost of one extra 128-pad on K)
-        chunks = ([tuple(range(layer.taps))] if mode == "patches" else
+        # qpatches above, at the cost of one extra 128-pad on K); a 1-tap
+        # layer has no second chunk and degrades to plain patches
+        chunks = ([tuple(range(layer.taps))]
+                  if mode == "patches" or layer.taps < 2 else
                   [tuple(range(0, (layer.taps + 1) // 2)),
                    tuple(range((layer.taps + 1) // 2, layer.taps))])
 
@@ -784,7 +793,8 @@ def _dw_kernel(x_hbm, g_ref, dw_ref, db_ref, *scr,
                 g[q * cout_o:(q + 1) * cout_o], patches[q % 2], contract,
                 preferred_element_type=jnp.float32)
     elif mode in ("patches", "ppatches"):
-        chunks = ([tuple(range(layer.taps))] if mode == "patches" else
+        chunks = ([tuple(range(layer.taps))]
+                  if mode == "patches" or layer.taps < 2 else
                   [tuple(range(0, (layer.taps + 1) // 2)),
                    tuple(range((layer.taps + 1) // 2, layer.taps))])
 
