@@ -114,9 +114,9 @@ def main(argv):
     cfg = get_config(args.config)
     dataset = VideoDataSet(cfg, args.data_path)
     # jax.jvp(jax.grad(...)) cannot trace through the fused Pallas tail's
-    # jax.custom_vjp (reverse-mode only) — force the jnp twin, identical
-    # math (same fix as methods/bit_assign.py)
-    cfg["fused_tail"] = "jnp"
+    # jax.custom_vjp (reverse-mode only) — force the XLA packed execution,
+    # identical math and jvp-capable (same fix as methods/bit_assign.py)
+    cfg["fused_tail"] = "off"
     model = build_model(args.arch, cfg)
     params = model.init(jax.random.PRNGKey(0), example_input(args.arch, cfg, 1))
     params = load_pth(args.ckpt, args.arch, params)

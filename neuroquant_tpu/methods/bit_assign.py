@@ -83,9 +83,9 @@ def assign(args, cfg):
     # The omega criterion is an HVP — jax.jvp over jax.grad (sensitivity.py).
     # The fused Pallas tail carries a jax.custom_vjp, which supports reverse
     # mode only; forward-over-reverse through it fails at trace time. Force
-    # the jnp twin (identical math, XLA autodiff) for this stage — the HVP
-    # runs for ~10 batches, so the fused tail's speed is immaterial here.
-    cfg["fused_tail"] = "jnp"
+    # the XLA packed execution (identical math, pure XLA ops — jvp-capable
+    # and faster than the jnp CF twin) for this stage.
+    cfg["fused_tail"] = "off"
     model, params = common.setup_run(args, cfg, rng)
     args.outf = os.path.join(
         args.outf, "sensitivity-{}_{}-init_batch{}_CW".format(
