@@ -395,19 +395,81 @@ def _exec_cfg(plan: TailPlan, layer: TailLayer, itemsize: int,
     return best[1]
 
 
+@lru_cache(maxsize=512)
+def _split_parts(plan: TailPlan, layer: TailLayer, itemsize: int, kind: str):
+    """None when one pallas_call fits the whole layer; otherwise the minimal
+    cout-row partition ((lo, rows, sub_layer), ...) where every sub-layer has
+    a VMEM-feasible ExecCfg. Raises ValueError when even the finest split
+    (one shuffle group / 8 rows) does not fit — e.g. the input tile alone
+    exceeds the budget (cin cannot be split: the conv contracts over it).
+
+    Splitting is over OUTPUT rows only: each part re-streams the same input
+    and computes a row slice of the output (fwd/dx) or of dW/db, so the
+    extra cost is one HBM re-read of the input per additional part — cheap
+    next to the matmuls that forced the split (UVG f=6 study, RESULTS.md).
+    Sparse layers split at shuffle-group boundaries so each part keeps the
+    (k_o, cin_o, cout_o, qtaps-subset) structure qpatches and the
+    canonical-dkk scatter rely on."""
+    try:
+        _exec_cfg(plan, layer, itemsize, kind)
+        return None
+    except ValueError:
+        pass
+
+    def try_parts(bounds_sizes):
+        parts = []
+        for lo, s in bounds_sizes:
+            if layer.sparse is not None:
+                k_o, cin_o, cout_o, qtaps = layer.sparse
+                g0, g1 = lo // cout_o, (lo + s) // cout_o
+                sub = dataclasses.replace(
+                    layer, cout=_r8(s),
+                    sparse=(k_o, cin_o, cout_o, qtaps[g0:g1]), sparse_t=None)
+            else:
+                sub = dataclasses.replace(layer, cout=_r8(s), sparse_t=None)
+            try:
+                _exec_cfg(plan, sub, itemsize, kind)
+            except ValueError:
+                return None
+            parts.append((lo, s, sub))
+        return tuple(parts)
+
+    if layer.sparse is not None:
+        f2, cout_o = len(layer.sparse[3]), layer.sparse[2]
+        for g_parts in range(2, f2 + 1):
+            gpp = -(-f2 // g_parts)
+            parts = try_parts([
+                (g0 * cout_o, (min(g0 + gpp, f2) - g0) * cout_o)
+                for g0 in range(0, f2, gpp)])
+            if parts:
+                return parts
+    else:
+        for n in range(2, layer.cout // 8 + 1):
+            step = -(-(layer.cout // 8) // n) * 8
+            parts = try_parts([(lo, min(step, layer.cout - lo))
+                               for lo in range(0, layer.cout, step)])
+            if parts:
+                return parts
+    raise ValueError(
+        f"fused tail: no execution mode fits the VMEM budget for layer "
+        f"{layer} ({kind}), even split to single-group row parts; gate "
+        f"with plan_feasible() and fall back to the jnp/XLA path")
+
+
 def plan_feasible(plan: TailPlan, itemsize: int = 2) -> bool:
-    """True when every layer of the plan has a Pallas execution mode whose
-    working set fits the VMEM budget, for the forward (fwd1/fwd2), the
-    weight gradient (dw), and the transposed input gradient (dx) — i.e. the
-    whole custom-VJP program can run. Oversized configurations (e.g. an
-    early pack start whose k_p^2-inflated kernels alone exceed VMEM) fall
+    """True when every layer of the plan has a Pallas execution whose
+    working set fits the VMEM budget — one call, or a cout-row split
+    (_split_parts) — for the forward (fwd1/fwd2), the weight gradient (dw),
+    and the transposed input gradient (dx): i.e. the whole custom-VJP
+    program can run. Configurations infeasible even split (e.g. an early
+    pack start whose double-buffered input tile alone exceeds VMEM) fall
     back to the jnp twin instead of failing at trace time."""
     try:
         for layer in plan.layers:
             for kind in ("fwd1", "fwd2"):
-                _exec_cfg(plan, layer, itemsize, kind)
-            _exec_cfg(plan, layer, itemsize, "dw")
-            _exec_cfg(plan, layer.transposed(), itemsize, "fwd2")
+                _split_parts(plan, layer, itemsize, kind)
+            _split_parts(plan, layer, itemsize, "dw")
+            _split_parts(plan, layer.transposed(), itemsize, "fwd2")
     except ValueError:
         return False
     return True
@@ -856,7 +918,44 @@ def _conv_cf(x, kk, bias, out_mul, plan: TailPlan, layer: TailLayer,
     'z' (B, cout, Mp), its activation 'y' = gelu(z), or the pair 'zy'
     (legacy residual+activation pair). act_in applies GELU to the streamed
     input tile in-kernel (the VJP-fwd chain passes pre-activation z between
-    layers). out_mul (B, cout, Mp) triggers the convT GELU' epilogue."""
+    layers). out_mul (B, cout, Mp) triggers the convT GELU' epilogue.
+
+    A layer whose working set exceeds VMEM in every mode executes as a
+    cout-row split (_split_parts): one pallas_call per row part, each with
+    its canonical-kernel column slice, concatenated back. The input streams
+    from HBM once per part; weights/accumulators shrink by the part count
+    (what made UVG's f=6 plan infeasible in one call — RESULTS.md)."""
+    parts = _split_parts(plan, layer, jnp.dtype(x.dtype).itemsize,
+                         "fwd2" if emit == "zy" else "fwd1")
+    if parts is not None:
+        outs = []
+        for lo, s, sub in parts:
+            kk_s = jnp.pad(kk[..., lo:lo + s],
+                           ((0, 0), (0, 0), (0, 0), (0, sub.cout - s)))
+            b_s = (None if bias is None else
+                   jnp.pad(bias[lo:lo + s], ((0, sub.cout - s), (0, 0))))
+            m_s = (None if out_mul is None else
+                   jnp.pad(out_mul[:, lo:lo + s, :],
+                           ((0, 0), (0, sub.cout - s), (0, 0))))
+            outs.append(_conv_cf_one(x, kk_s, b_s, m_s, plan, sub,
+                                     out_dtype, emit, act_in))
+
+        def cat(arrs):
+            full = jnp.concatenate(
+                [a[:, :s, :] for a, (lo, s, sub) in zip(arrs, parts)], axis=1)
+            return jnp.pad(full, ((0, 0), (0, layer.cout - full.shape[1]),
+                                  (0, 0)))
+
+        if emit == "zy":
+            return cat([o[0] for o in outs]), cat([o[1] for o in outs])
+        return cat(outs)
+    return _conv_cf_one(x, kk, bias, out_mul, plan, layer, out_dtype, emit,
+                        act_in)
+
+
+def _conv_cf_one(x, kk, bias, out_mul, plan: TailPlan, layer: TailLayer,
+                 out_dtype, emit: str = "z", act_in: bool = False):
+    """Single-pallas_call body of :func:`_conv_cf` (layer fits VMEM)."""
     b = x.shape[0]
     cfg = _exec_cfg(plan, layer, jnp.dtype(x.dtype).itemsize,
                     "fwd2" if emit == "zy" else "fwd1")
@@ -929,7 +1028,34 @@ def _conv_cf_dw(x, g, plan: TailPlan, layer: TailLayer,
     """dW/db for one layer: x input (B, cin, Mp), g cotangent (B, cout, Mp)
     -> (canonical dkk fp32, db (cout, 1) fp32). act_in applies GELU to the
     streamed x tile in-kernel (the stored residuals are pre-activation),
-    replacing a full-array XLA gelu materialization per layer in the bwd."""
+    replacing a full-array XLA gelu materialization per layer in the bwd.
+
+    VMEM-oversized layers run as a cout-row split (see _conv_cf): each part
+    sees its g row slice, accumulates its dW/db block, and the canonical
+    dkk column slices concatenate back (for qpatches parts the scatter
+    lands at the part's first group — the pack-gather VJP consumer sums
+    over group positions, so the per-part placement is immaterial, same
+    argument as _op_to_kk_grad's)."""
+    parts = _split_parts(plan, layer, jnp.dtype(x.dtype).itemsize, "dw")
+    if parts is not None:
+        dkks, dbs = [], []
+        for lo, s, sub in parts:
+            g_s = jnp.pad(g[:, lo:lo + s, :],
+                          ((0, 0), (0, sub.cout - s), (0, 0)))
+            dkk, db = _conv_cf_dw_one(x, g_s, plan, sub, act_in)
+            dkks.append(dkk[..., :s])
+            dbs.append(db[:s])
+        dkk = jnp.concatenate(dkks, axis=3)
+        db = jnp.concatenate(dbs, axis=0)
+        return (jnp.pad(dkk, ((0, 0), (0, 0), (0, 0),
+                              (0, layer.cout - dkk.shape[3]))),
+                jnp.pad(db, ((0, layer.cout - db.shape[0]), (0, 0))))
+    return _conv_cf_dw_one(x, g, plan, layer, act_in)
+
+
+def _conv_cf_dw_one(x, g, plan: TailPlan, layer: TailLayer,
+                    act_in: bool = False):
+    """Single-pallas_call body of :func:`_conv_cf_dw` (layer fits VMEM)."""
     b = x.shape[0]
     cfg = _exec_cfg(plan, layer, jnp.dtype(x.dtype).itemsize, "dw")
     xg = _guard(x, plan, layer, cfg)

@@ -158,19 +158,18 @@ class TestPlan:
 
     def test_uvg_feasibility_informs_impl_not_start(self):
         """UVG 960x1920 (strides [5,4,4,3,2]): the MXU cost model prefers
-        the f=6 start (t=3), whose packed kernels exceed Pallas VMEM.
-        Measured on v5e, the best decode is STILL t=3 via the XLA packed
-        execution (149.9 FPS vs 102.7 for a shallower t=4 Pallas plan and
-        87.6 for the jnp CF twin) — so 'auto' keeps the cost-model start
-        and fused_tail_feasible instead drives the models' _fused_impl
-        fallback (None -> XLA packed decode, jnp CF calibration loss)."""
+        the f=6 start (t=3). Its packed kernels exceed one pallas_call's
+        VMEM, but the cout-row split (tail_fused._split_parts) makes the
+        plan feasible — 'auto' keeps the cost-model start AND the Pallas
+        execution now applies (it fell back to the XLA packed path before
+        the split existed; RESULTS.md UVG section)."""
         from neuroquant_tpu.ops.packed_decode import (
             fused_tail_feasible, resolve_pack_start)
 
         ker, st = [1, 3, 5, 5, 5], [5, 4, 4, 3, 2]
         chans = [77, 64, 53, 44, 37]
         ich = [92] + chans[:-1]
-        assert not fused_tail_feasible(3, ker, st, ich, chans, 960, 1920)
+        assert fused_tail_feasible(3, ker, st, ich, chans, 960, 1920)
         assert fused_tail_feasible(4, ker, st, ich, chans, 960, 1920)
         t = resolve_pack_start("auto", ker, st, "none", ich, chans, 960, 1920)
         assert t == 3

@@ -221,13 +221,48 @@ class TestModelIntegration:
 
 
 class TestVmemFeasibilityFallback:
-    """A plan whose kernels cannot fit any Pallas execution mode in VMEM
-    must downgrade to the jnp twin instead of failing at trace time
-    (_exec_cfg raises; run_fused_tail* gate on plan_feasible)."""
+    """A plan with a layer no Pallas execution can fit in VMEM — one call
+    OR a cout-row split — must downgrade to the jnp twin instead of failing
+    at trace time (_split_parts raises; run_fused_tail* gate on
+    plan_feasible). cin cannot be split (the conv contracts over it), so a
+    layer whose double-buffered input tile alone exceeds the budget is the
+    genuinely-infeasible case."""
 
-    def _big_case(self):
-        # 25-tap 256->1024 kernel: resident weights alone are 25MB fp32 /
-        # 13MB bf16 -- over the 9MB budget in every mode.
+    def _huge_cin_case(self):
+        # input tile 2 * 16384 * span * 2B > 11.25MB at every lane tile:
+        # infeasible in every mode, split or not
+        w0 = jnp.asarray(RNG.randn(5, 5, 16384, 8) * 0.02, jnp.float32)
+        b0 = jnp.asarray(RNG.randn(8) * 0.01, jnp.float32)
+        wh = jnp.asarray(RNG.randn(3, 3, 2, 3) * 0.02, jnp.float32)
+        bh = jnp.asarray(RNG.randn(3) * 0.01, jnp.float32)
+        return [(w0, b0, 2)], (wh, bh)
+
+    def test_plan_infeasible_detected(self):
+        blocks, head = self._huge_cin_case()
+        plan, kks, bms, f, ch = tf.plan_and_pack(H, W, blocks, head, tm=128)
+        assert not tf.plan_feasible(plan, itemsize=2)
+        with pytest.raises(ValueError, match="VMEM"):
+            tf._split_parts(plan, plan.layers[0], 2, "fwd1")
+        assert tf._effective_impl("pallas", plan, jnp.float32) == "jnp"
+
+    def test_entry_point_falls_back(self):
+        blocks, head = self._huge_cin_case()
+        x = jnp.asarray(RNG.randn(1, H, W, 16384) * 0.1, jnp.float32)
+        with pytest.warns(UserWarning, match="VMEM"):
+            out, f = tf.run_fused_tail(x, blocks, head, impl="pallas", tm=128)
+        ref, f2 = tf.run_fused_tail(x, blocks, head, impl="jnp", tm=128)
+        assert f == f2
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+class TestCoutSplit:
+    """A layer too large for one pallas_call but feasible as a cout-row
+    split (the UVG f=6 head-dW situation, RESULTS.md) must run the Pallas
+    path — multi-call, exact — not demote to jnp."""
+
+    def _case(self):
+        # 25-tap 256->1024: resident weights 25MB fp32 / 13MB bf16 exceed
+        # the 11.25MB budget in one call; a 2-part cout split fits.
         w0 = jnp.asarray(RNG.randn(5, 5, 256, 1024) * 0.02, jnp.float32)
         b0 = jnp.asarray(RNG.randn(1024) * 0.01, jnp.float32)
         wh = jnp.asarray(RNG.randn(3, 3, 256, 3) * 0.02, jnp.float32)
@@ -235,21 +270,96 @@ class TestVmemFeasibilityFallback:
         x = jnp.asarray(RNG.randn(1, H, W, 256) * 0.1, jnp.float32)
         return x, [(w0, b0, 2)], (wh, bh)
 
-    def test_plan_infeasible_detected(self):
-        x, blocks, head = self._big_case()
+    def test_split_feasible_and_used(self):
+        x, blocks, head = self._case()
         plan, kks, bms, f, ch = tf.plan_and_pack(H, W, blocks, head, tm=128)
-        assert not tf.plan_feasible(plan, itemsize=2)
-        with pytest.raises(ValueError, match="VMEM"):
-            tf._exec_cfg(plan, plan.layers[0], 2, "fwd1")
-        assert tf._effective_impl("pallas", plan, jnp.float32) == "jnp"
+        assert tf.plan_feasible(plan, itemsize=4)   # fp32 on CPU interpret
+        parts = tf._split_parts(plan, plan.layers[0], 4, "fwd1")
+        assert parts is not None and len(parts) >= 2
+        assert sum(s for _, s, _ in parts) == plan.layers[0].cout
+        assert tf._effective_impl("pallas", plan, jnp.float32) == "pallas"
 
-    def test_entry_point_falls_back(self):
-        x, blocks, head = self._big_case()
-        with pytest.warns(UserWarning, match="VMEM"):
-            out, f = tf.run_fused_tail(x, blocks, head, impl="pallas", tm=128)
-        ref, f2 = tf.run_fused_tail(x, blocks, head, impl="jnp", tm=128)
-        assert f == f2
-        np.testing.assert_allclose(out, ref, atol=1e-5)
+    def test_forward_and_gradients_match_jnp(self):
+        x, blocks, head = self._case()
+        plan, kks, bms, f, ch = tf.plan_and_pack(H, W, blocks, head, tm=128)
+
+        def run(apply_fn, xx, kk_list, bm_list):
+            z = apply_fn(plan, tf.nhwc_to_cf(xx, plan), tuple(kk_list),
+                         tuple(bm_list))
+            return tf.cf_to_nhwc(z, plan, ch)
+
+        out = run(tf.tail_apply, x, kks, bms)
+        ref = run(tf.tail_apply_jnp, x, kks, bms)
+        np.testing.assert_allclose(out, ref, atol=2e-5)
+
+        cot = jnp.asarray(RNG.randn(*ref.shape), jnp.float32)
+        gp = jax.grad(lambda a: jnp.sum(run(tf.tail_apply, *a) * cot))(
+            (x, kks, bms))
+        gj = jax.grad(lambda a: jnp.sum(run(tf.tail_apply_jnp, *a) * cot))(
+            (x, kks, bms))
+        for a, b in zip(jax.tree_util.tree_leaves(gj),
+                        jax.tree_util.tree_leaves(gp)):
+            scale = float(jnp.abs(a).max()) + 1e-12
+            assert float(jnp.abs(a - b).max()) / scale < 1e-5
+
+    def test_sparse_group_split_matches(self):
+        """Force a split on a packed (sparse) layer via a tiny budget:
+        group-boundary parts + qtaps subsetting + the per-part dkk scatter
+        must stay exact (fwd + grads vs the jnp twin).
+
+        Gradients compare wrt the ORIGINAL hwio weights, through the
+        differentiable plan_and_pack gathers — the production contract.
+        The intermediate canonical dkk is NOT compared directly: an
+        original element that pack_conv_kernel replicates into several
+        packed slots only has a well-defined SUM of slot cotangents (the
+        pack-gather VJP adds them), and the qpatches dW kernel splits that
+        sum across duplicate slots differently from XLA's autodiff on this
+        geometry (verified sum-equivalent; see _conv_cf_dw docstring)."""
+        w0 = jnp.asarray(RNG.randn(5, 5, 16, 64) * 0.1, jnp.float32)
+        b0 = jnp.asarray(RNG.randn(64) * 0.05, jnp.float32)
+        w1 = jnp.asarray(RNG.randn(3, 3, 16, 48) * 0.1, jnp.float32)
+        b1 = jnp.asarray(RNG.randn(48) * 0.05, jnp.float32)
+        wh = jnp.asarray(RNG.randn(3, 3, 12, 3) * 0.1, jnp.float32)
+        bh = jnp.asarray(RNG.randn(3) * 0.05, jnp.float32)
+        x = jnp.asarray(RNG.randn(1, H, W, 16) * 0.2, jnp.float32)
+
+        def full(apply_fn, inputs):
+            xx, w0_, b0_, w1_, b1_, wh_, bh_ = inputs
+            plan, kks, bms, f, ch = tf.plan_and_pack(
+                H, W, [(w0_, b0_, 2), (w1_, b1_, 2)], (wh_, bh_), tm=128)
+            z = apply_fn(plan, tf.nhwc_to_cf(xx, plan), kks, bms)
+            return tf.cf_to_nhwc(z, plan, ch)
+
+        inputs = (x, w0, b0, w1, b1, wh, bh)
+        plan, *_ = tf.plan_and_pack(
+            H, W, [(w0, b0, 2), (w1, b1, 2)], (wh, bh), tm=128)
+
+        import unittest.mock as mock
+        budget = 600 * 1024   # forces splits on the sparse layers (incl.
+        # an 8-part dw split of the head) while every part stays feasible
+        tf._exec_cfg.cache_clear()
+        tf._split_parts.cache_clear()
+        try:
+            with mock.patch.object(tf, "_VMEM_BUDGET", budget):
+                assert any(
+                    tf._split_parts(plan, L, 4, k)
+                    for L in plan.layers if L.sparse is not None
+                    for k in ("fwd1", "dw"))
+                out = full(tf.tail_apply, inputs)
+                cot = jnp.asarray(RNG.randn(*out.shape), jnp.float32)
+                gp = jax.grad(lambda a: jnp.sum(
+                    full(tf.tail_apply, a) * cot))(inputs)
+        finally:
+            tf._exec_cfg.cache_clear()
+            tf._split_parts.cache_clear()
+
+        ref = full(tf.tail_apply_jnp, inputs)
+        np.testing.assert_allclose(out, ref, atol=2e-5)
+        gj = jax.grad(lambda a: jnp.sum(
+            full(tf.tail_apply_jnp, a) * cot))(inputs)
+        for a, b in zip(gj, gp):
+            scale = float(jnp.abs(a).max()) + 1e-12
+            assert float(jnp.abs(a - b).max()) / scale < 1e-5
 
     def test_small_plan_feasible(self, tail_case):
         x, (w0, b0, w1, b1, wh, bh) = tail_case
