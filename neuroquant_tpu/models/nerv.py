@@ -122,7 +122,8 @@ class NeRV(nn.Module):
         return gate_fused_impl(
             resolve_impl(c.fused_tail), self.pack_start, c.dec_kernels,
             c.dec_strides, [c.dec_in_channel] + chans[:-1], chans,
-            c.crop_h, c.crop_w)
+            c.crop_h, c.crop_w,
+            allow_split=str(c.fused_tail).lower() == "pallas")
 
     def decode_cf(self, img_embed):
         """Decode to the packed channels-first head output with `out_bias`

@@ -51,23 +51,28 @@ import numpy as np
 
 def fused_tail_feasible(t, kernels, strides, in_channels, out_channels,
                         crop_h: int, crop_w: int,
-                        head_kernel: int = 3, head_out: int = 3) -> bool:
+                        head_kernel: int = 3, head_out: int = 3,
+                        allow_split: bool = True) -> bool:
     """True when the fused Pallas tail has a VMEM-feasible execution mode
     for every layer of the pack-start-t plan (bf16 operands). Pure shape
     math — no arrays are built. Models consult this to decide between the
-    Pallas CF tail and the XLA packed execution for decode."""
+    Pallas CF tail and the XLA packed execution for decode.
+    allow_split=False counts only one-pallas_call layers as feasible (see
+    tail_fused.plan_feasible)."""
     return _fused_tail_feasible(
         int(t), tuple(int(k) for k in kernels),
         tuple(int(s) for s in strides),
         tuple(int(c) for c in in_channels),
         tuple(int(c) for c in out_channels),
-        int(crop_h), int(crop_w), int(head_kernel), int(head_out))
+        int(crop_h), int(crop_w), int(head_kernel), int(head_out),
+        bool(allow_split))
 
 
 @lru_cache(maxsize=256)
 def _fused_tail_feasible(t, kernels, strides, in_channels, out_channels,
                          crop_h: int, crop_w: int,
-                         head_kernel: int, head_out: int) -> bool:
+                         head_kernel: int, head_out: int,
+                         allow_split: bool = True) -> bool:
     from neuroquant_tpu.ops.tail_fused import (
         _VMEM_BUDGET, plan_feasible, plan_geometry)
 
@@ -94,20 +99,27 @@ def _fused_tail_feasible(t, kernels, strides, in_channels, out_channels,
                                  head_out))
     except AssertionError:
         return False
-    return plan_feasible(plan, 2)
+    return plan_feasible(plan, 2, allow_split=allow_split)
 
 
 def gate_fused_impl(impl, t, kernels, strides, in_channels, out_channels,
                     crop_h: int, crop_w: int,
-                    head_kernel: int = 3, head_out: int = 3):
+                    head_kernel: int = 3, head_out: int = 3,
+                    allow_split: bool = False):
     """Demote impl='pallas' to None when the pack-start-t plan is not
     VMEM-feasible, so model decode falls back to the XLA packed execution
     (measured faster than the jnp CF twin at infeasible geometries — UVG
     study in RESULTS.md: 149.9 vs 87.6 FPS). Other impls pass through;
-    decode_cf callers keep their own `or "jnp"` for the calibration loss."""
+    decode_cf callers keep their own `or "jnp"` for the calibration loss.
+
+    allow_split=False (the models' 'auto' default): plans feasible only via
+    the cout-row split (_split_parts) also demote — the split execution is
+    exactness-tested but not yet perf-validated on hardware against the XLA
+    packed path it would replace (UVG f=6). An explicit `fused_tail: pallas`
+    config passes allow_split=True and runs the split kernels."""
     if impl == "pallas" and not fused_tail_feasible(
             t, kernels, strides, in_channels, out_channels, crop_h, crop_w,
-            head_kernel, head_out):
+            head_kernel, head_out, allow_split=allow_split):
         return None
     return impl
 

@@ -456,20 +456,27 @@ def _split_parts(plan: TailPlan, layer: TailLayer, itemsize: int, kind: str):
         f"with plan_feasible() and fall back to the jnp/XLA path")
 
 
-def plan_feasible(plan: TailPlan, itemsize: int = 2) -> bool:
+def plan_feasible(plan: TailPlan, itemsize: int = 2,
+                  allow_split: bool = True) -> bool:
     """True when every layer of the plan has a Pallas execution whose
-    working set fits the VMEM budget — one call, or a cout-row split
-    (_split_parts) — for the forward (fwd1/fwd2), the weight gradient (dw),
-    and the transposed input gradient (dx): i.e. the whole custom-VJP
+    working set fits the VMEM budget — one call, or (allow_split) a cout-row
+    split (_split_parts) — for the forward (fwd1/fwd2), the weight gradient
+    (dw), and the transposed input gradient (dx): i.e. the whole custom-VJP
     program can run. Configurations infeasible even split (e.g. an early
     pack start whose double-buffered input tile alone exceeds VMEM) fall
-    back to the jnp twin instead of failing at trace time."""
+    back to the jnp twin instead of failing at trace time.
+
+    allow_split=False reports one-call feasibility only — the models' 'auto'
+    impl gate uses it so split-requiring plans (UVG f=6) keep the measured
+    XLA packed decode until the split execution is perf-validated on
+    hardware (packed_decode.gate_fused_impl)."""
+    check = _split_parts if allow_split else _exec_cfg
     try:
         for layer in plan.layers:
             for kind in ("fwd1", "fwd2"):
-                _split_parts(plan, layer, itemsize, kind)
-            _split_parts(plan, layer, itemsize, "dw")
-            _split_parts(plan, layer.transposed(), itemsize, "fwd2")
+                check(plan, layer, itemsize, kind)
+            check(plan, layer, itemsize, "dw")
+            check(plan, layer.transposed(), itemsize, "fwd2")
     except ValueError:
         return False
     return True
