@@ -112,15 +112,14 @@ class HNeRV(nn.Module):
         c = self.cfg
         if self.pack_start is None or c.dec_acts != "gelu":
             return None
-        # VMEM-infeasible plans (e.g. UVG's f=6 tail) demote to None:
+        # Plans infeasible even with the cout-row split demote to None:
         # decode falls back to the XLA packed execution, decode_cf to the
         # jnp twin for the calibration loss (UVG study, RESULTS.md)
         chans = c.decoder_channels()
         return gate_fused_impl(
             resolve_impl(c.fused_tail), self.pack_start, c.dec_kernels,
             c.dec_strides, [c.dec_in_channel] + chans[:-1], chans,
-            c.crop_h, c.crop_w,
-            allow_split=str(c.fused_tail).lower() == "pallas")
+            c.crop_h, c.crop_w)
 
     def decode_cf(self, img_embed):
         """Decode to the packed channels-first head output with `out_bias`

@@ -226,8 +226,7 @@ def _gated_impl(m):
     c = m.cfg
     ngf, r = int(c.kfc_h_w_c[2]), int(c.kfc_strides[-1])
     return gate_fused_impl(resolve_impl(c.fused_tail), 0, [3], [r], [ngf],
-                           [ngf], c.crop_h, c.crop_w,
-                           allow_split=str(c.fused_tail).lower() == "pallas")
+                           [ngf], c.crop_h, c.crop_w)
 
 
 def _packed_tail(m, x):

@@ -105,18 +105,18 @@ def _fused_tail_feasible(t, kernels, strides, in_channels, out_channels,
 def gate_fused_impl(impl, t, kernels, strides, in_channels, out_channels,
                     crop_h: int, crop_w: int,
                     head_kernel: int = 3, head_out: int = 3,
-                    allow_split: bool = False):
+                    allow_split: bool = True):
     """Demote impl='pallas' to None when the pack-start-t plan is not
     VMEM-feasible, so model decode falls back to the XLA packed execution
     (measured faster than the jnp CF twin at infeasible geometries — UVG
     study in RESULTS.md: 149.9 vs 87.6 FPS). Other impls pass through;
     decode_cf callers keep their own `or "jnp"` for the calibration loss.
 
-    allow_split=False (the models' 'auto' default): plans feasible only via
-    the cout-row split (_split_parts) also demote — the split execution is
-    exactness-tested but not yet perf-validated on hardware against the XLA
-    packed path it would replace (UVG f=6). An explicit `fused_tail: pallas`
-    config passes allow_split=True and runs the split kernels."""
+    Plans feasible only via the cout-row split (_split_parts) stay Pallas:
+    the split execution is perf-validated on hardware at the one shipped
+    geometry that needs it — UVG f=6 decodes at 221.6 FPS split-Pallas vs
+    151.2 XLA-packed vs 87.9 jnp (scripts/uvg_split_probe.py, RESULTS.md).
+    allow_split=False reports one-call feasibility only (diagnostics)."""
     if impl == "pallas" and not fused_tail_feasible(
             t, kernels, strides, in_channels, out_channels, crop_h, crop_w,
             head_kernel, head_out, allow_split=allow_split):

@@ -244,6 +244,15 @@ _SWEEP_PINS = {
     (384, 96, 3, True, "fwd"): ("taps", 2048),       # L1 dx
     (384, 48, 3, True, "dw"): ("taps", 1024),
     (48, 384, 3, True, "fwd"): ("qpatches", 2048),   # head dx
+    # HNeRV UVG f=6 tail (same 160x320/2048 plan geometry; sweep with the
+    # production GELU' epilogue, tail_layer_bench --arch hnerv_uvg --bwd):
+    # L1 dx — the model's qpatches picks FAIL Mosaic scoped vmem at every
+    # tile (18.3M vs the 16M limit; the calib-breaking kernel) while
+    # taps@512 compiles and runs at 3907us
+    (1336, 400, 3, True, "fwd"): ("taps", 512),
+    # L2 dW — one-call infeasible per the model (would split/fall back),
+    # but measured: taps@512 compiles one-call at 1837us
+    (1336, 112, 3, True, "dw"): ("taps", 512),
 }
 
 
@@ -458,28 +467,40 @@ def _split_parts(plan: TailPlan, layer: TailLayer, itemsize: int, kind: str):
 
 def plan_feasible(plan: TailPlan, itemsize: int = 2,
                   allow_split: bool = True) -> bool:
-    """True when every layer of the plan has a Pallas execution whose
-    working set fits the VMEM budget — one call, or (allow_split) a cout-row
-    split (_split_parts) — for the forward (fwd1/fwd2), the weight gradient
-    (dw), and the transposed input gradient (dx): i.e. the whole custom-VJP
-    program can run. Configurations infeasible even split (e.g. an early
+    """True when every layer's FORWARD has a Pallas execution whose working
+    set fits the VMEM budget — one call, or (allow_split) a cout-row split
+    (_split_parts). Configurations infeasible even split (e.g. an early
     pack start whose double-buffered input tile alone exceeds VMEM) fall
     back to the jnp twin instead of failing at trace time.
 
-    allow_split=False reports one-call feasibility only — the models' 'auto'
-    impl gate uses it so split-requiring plans (UVG f=6) keep the measured
-    XLA packed decode until the split execution is perf-validated on
-    hardware (packed_decode.gate_fused_impl)."""
+    Only the forward gates the plan: the custom-VJP backward falls back to
+    jnp PER KERNEL when its dx/dW would need a split (_tail_apply_bwd) —
+    split gradient kernels stream the full fat cin and blow Mosaic's scoped
+    vmem regardless of the row partition (measured 18.3M vs the 16M limit
+    on UVG f=6's L1 dx), while split FORWARDS are hardware-validated
+    (221.6 vs 151.2 FPS against the XLA packed path at UVG f=6 —
+    scripts/uvg_split_probe.py).
+
+    allow_split=False reports one-call feasibility only (diagnostics)."""
     check = _split_parts if allow_split else _exec_cfg
     try:
         for layer in plan.layers:
-            for kind in ("fwd1", "fwd2"):
-                check(plan, layer, itemsize, kind)
-            check(plan, layer, itemsize, "dw")
-            check(plan, layer.transposed(), itemsize, "fwd2")
+            check(plan, layer, itemsize, "fwd1")
     except ValueError:
         return False
     return True
+
+
+def _bwd_needs_split(plan: TailPlan, layer: TailLayer, itemsize: int,
+                     kind: str) -> bool:
+    """True when this gradient kernel would run as a cout-row split (or not
+    at all): the bwd then uses the jnp fallback for this layer — splitting
+    output rows cannot shrink the streamed-input working set that dominates
+    the oversized gradient geometries (plan_feasible docstring)."""
+    try:
+        return _split_parts(plan, layer, itemsize, kind) is not None
+    except ValueError:
+        return True
 
 
 @lru_cache(maxsize=64)
@@ -1138,6 +1159,26 @@ def _conv_cf_jnp(x, kk, bias, out_mul, plan: TailPlan, layer: TailLayer,
     return z
 
 
+def _conv_cf_dw_jnp(x, g, plan: TailPlan, layer: TailLayer,
+                    act_in: bool = False):
+    """jnp fallback for :func:`_conv_cf_dw` on gradient geometries whose
+    Pallas kernel would need a cout-row split (see _bwd_needs_split):
+    differentiate the jnp twin w.r.t. (kk, bias) at zero — the forward is
+    linear in both, so the VJP at any point is the exact gradient, and it
+    lands directly in the canonical (side, side, cin8, cout8) layout."""
+    kk0 = jnp.zeros((layer.side, layer.side, layer.cin, layer.cout),
+                    jnp.float32)
+    b0 = jnp.zeros((layer.cout, 1), jnp.float32)
+
+    def f(kk, bias):
+        return _conv_cf_jnp(x, kk, bias, None, plan, layer, jnp.float32,
+                            emit="z", act_in=act_in)
+
+    _, vjp = jax.vjp(f, kk0, b0)
+    dkk, db = vjp(g.astype(jnp.float32))
+    return dkk, db
+
+
 # --------------------------------------------------------------------------
 # Fused tail apply with custom VJP (primal weights: canonical padded kks)
 # --------------------------------------------------------------------------
@@ -1188,20 +1229,33 @@ def _tail_apply_fwd(plan, x_cf, kks, biases):
 
 
 def _tail_apply_bwd(plan, res, g_out):
+    """Backward: Pallas dW/dx kernels per layer, except gradient geometries
+    that would need the cout-row split — those use the jnp fallbacks (the
+    split cannot shrink their streamed-input working set and Mosaic's scoped
+    vmem overflows; _bwd_needs_split). Forward split kernels stay Pallas."""
     residuals, kks, biases = res
+    itemsize = jnp.dtype(g_out.dtype).itemsize
     mask = border_mask(plan, g_out.dtype)
     g = g_out * mask
     dkks, dbs = [None] * len(plan.layers), [None] * len(plan.layers)
     for li in range(len(plan.layers) - 1, -1, -1):
         layer = plan.layers[li]
         x_in = residuals[li]
-        dkk, db = _conv_cf_dw(x_in, g, plan, layer, act_in=layer.gelu_in)
+        if _bwd_needs_split(plan, layer, itemsize, "dw"):
+            dkk, db = _conv_cf_dw_jnp(x_in, g, plan, layer,
+                                      act_in=layer.gelu_in)
+        else:
+            dkk, db = _conv_cf_dw(x_in, g, plan, layer,
+                                  act_in=layer.gelu_in)
         dkks[li] = dkk.astype(kks[li].dtype)
         dbs[li] = (db.astype(biases[li].dtype)
                    if biases[li] is not None else None)
         out_mul = x_in if layer.gelu_in else None
-        g = _conv_cf(g, _kk_transpose(kks[li]), None, out_mul, plan,
-                     layer.transposed(), g.dtype)
+        lt = layer.transposed()
+        conv_dx = (_conv_cf_jnp if _bwd_needs_split(plan, lt, itemsize,
+                                                    "fwd1") else _conv_cf)
+        g = conv_dx(g, _kk_transpose(kks[li]), None, out_mul, plan, lt,
+                    g.dtype)
     return g, tuple(dkks), tuple(dbs)
 
 

@@ -32,6 +32,18 @@ def geometry(arch):
         h, w, c0 = 160, 320, 53
         blocks = [(5, 53, 176, 2), (5, 44, 148, 2)]
         head = (3, 37, 3)
+    elif arch == "hnerv_uvg":
+        # UVG 960x1920 f=6 plan (strides [...,3,2]); same 160x320 packed
+        # grid as Bunny but 9x/4x shuffle groups -> the fat 400->1336->112
+        # packed channels whose dx kernels overflow Mosaic scoped vmem at
+        # the model's picks (RESULTS.md UVG split study)
+        h, w, c0 = 160, 320, 53
+        blocks = [(5, 53, 396, 3), (5, 44, 148, 2)]
+        head = (3, 37, 3)
+    elif arch == "nerv_uvg":
+        h, w, c0 = 160, 320, 24
+        blocks = [(3, 24, 216, 3), (3, 24, 96, 2)]
+        head = (3, 24, 3)
     else:
         h, w, c0 = 160, 320, 24
         blocks = [(3, 24, 96, 2), (3, 24, 96, 2)]
@@ -137,7 +149,7 @@ def main():
             modes.append("qpatches")
         xin = xs[li]
         for mode in modes:
-            for tm in (1024, 2048, 4096):
+            for tm in (256, 512, 1024, 2048, 4096):
                 os.environ["NQ_TAIL_MODE"] = \
                     f"{layer.cin}x{layer.cout}={mode}@{tm}"
                 tf._exec_cfg.cache_clear()
@@ -160,30 +172,34 @@ def main():
                     print(f"  fwd {mode:9s}@{tm}: FAIL "
                           f"{type(e).__name__}: {str(e)[:80]}")
         if args.bwd:
-            # convT (dx) pass: transposed geometry, GELU' epilogue omitted
+            # convT (dx) pass: transposed geometry, WITH the production
+            # GELU' epilogue (out_mul) when this layer stores pre-activation
+            # input — a config that only compiles without the epilogue is
+            # not pinnable (the kn2row@4096 head trap, RESULTS.md)
             lt = layer.transposed()
             g_out = jnp.asarray(rng.randn(args.batch, layer.cout, plan.mp)
                                 * .01, dtype)
+            om = xs[li] if layer.gelu_in else None
             ktr = tf._kk_transpose(kks_c[li])
             for mode in (["patches", "dpatches", "taps", "kn2row"]
                          + (["qpatches"] if lt.sparse else [])):
-                for tm in (1024, 2048):
+                for tm in (256, 512, 1024, 2048):
                     os.environ["NQ_TAIL_MODE"] = \
                         f"{lt.cin}x{lt.cout}={mode}@{tm}"
                     tf._exec_cfg.cache_clear()
                     try:
-                        def bwdx(i, g, kk):
+                        def bwdx(i, g, kk, om):
                             return tf._conv_cf(
                                 g * (1.0 + 1e-6 * i).astype(dtype), kk,
-                                None, None, plan, lt, dtype, emit="z")
-                        ms = timed_scan(bwdx, (g_out, ktr), args.iters)
+                                None, om, plan, lt, dtype, emit="z")
+                        ms = timed_scan(bwdx, (g_out, ktr, om), args.iters)
                         print(f"  dx  {mode:9s}@{tm}: {ms * 1e3:7.0f} us")
                     except Exception as e:
                         print(f"  dx  {mode:9s}@{tm}: FAIL {str(e)[:60]}")
             # dW pass
             for mode in (["patches", "dpatches", "taps"]
                          + (["qpatches"] if layer.sparse else [])):
-                for tm in (1024, 2048):
+                for tm in (256, 512, 1024, 2048):
                     os.environ["NQ_TAIL_MODE"] = \
                         f"{layer.cin}x{layer.cout}={mode}@{tm}"
                     tf._exec_cfg.cache_clear()
@@ -203,9 +219,15 @@ def main():
 
     # ---- whole-tail + default-choice report ----
     for li, layer in enumerate(plan.layers):
-        for kind in ("fwd1", "fwd2", "dw"):
-            cfg = tf._exec_cfg(plan, layer, jnp.dtype(dtype).itemsize, kind)
-            print(f"default layer {li} {kind}: {cfg.mode}@{cfg.tm}")
+        for kind, lay in (("fwd1", layer), ("fwd2", layer), ("dw", layer),
+                          ("dx", layer.transposed())):
+            try:
+                cfg = tf._exec_cfg(plan, lay, jnp.dtype(dtype).itemsize,
+                                   "fwd1" if kind == "dx" else kind)
+                print(f"default layer {li} {kind}: {cfg.mode}@{cfg.tm}")
+            except ValueError:
+                print(f"default layer {li} {kind}: one-call infeasible "
+                      f"(split or jnp fallback)")
 
     def whole(i, x_cf, kks_c, bms_c):
         return tf.tail_apply(plan, x_cf * (1.0 + 1e-6 * i).astype(dtype),

@@ -158,13 +158,13 @@ class TestPlan:
 
     def test_uvg_feasibility_informs_impl_not_start(self):
         """UVG 960x1920 (strides [5,4,4,3,2]): the MXU cost model prefers
-        the f=6 start (t=3). Its packed kernels exceed one pallas_call's
-        VMEM; the cout-row split (tail_fused._split_parts) makes the plan
-        RUNNABLE as Pallas (allow_split=True), but the models' 'auto' gate
-        (allow_split=False) keeps the measured XLA packed decode until the
-        split execution is perf-validated on hardware — so 'auto' keeps the
-        cost-model start while split feasibility stays opt-in via an
-        explicit `fused_tail: pallas` (RESULTS.md UVG section)."""
+        the f=6 start (t=3). Feasibility gates on the FORWARD kernels only
+        (one call or cout-row split) — the custom-VJP backward falls back
+        to jnp per gradient kernel that would need a split
+        (tail_fused._tail_apply_bwd) — and the f=6 forward plan is
+        feasible, so 'auto' keeps both the cost-model start AND the Pallas
+        execution (hardware-validated: 221.6 FPS vs 151.2 XLA-packed vs
+        87.9 jnp — scripts/uvg_split_probe.py)."""
         from neuroquant_tpu.ops.packed_decode import (
             fused_tail_feasible, resolve_pack_start)
 
@@ -172,8 +172,6 @@ class TestPlan:
         chans = [77, 64, 53, 44, 37]
         ich = [92] + chans[:-1]
         assert fused_tail_feasible(3, ker, st, ich, chans, 960, 1920)
-        assert not fused_tail_feasible(3, ker, st, ich, chans, 960, 1920,
-                                       allow_split=False)
         assert fused_tail_feasible(4, ker, st, ich, chans, 960, 1920)
         t = resolve_pack_start("auto", ker, st, "none", ich, chans, 960, 1920)
         assert t == 3

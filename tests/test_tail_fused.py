@@ -274,6 +274,8 @@ class TestCoutSplit:
         x, blocks, head = self._case()
         plan, kks, bms, f, ch = tf.plan_and_pack(H, W, blocks, head, tm=128)
         assert tf.plan_feasible(plan, itemsize=4)   # fp32 on CPU interpret
+        # one-call-only feasibility (diagnostics knob) rejects this plan
+        assert not tf.plan_feasible(plan, itemsize=4, allow_split=False)
         parts = tf._split_parts(plan, plan.layers[0], 4, "fwd1")
         assert parts is not None and len(parts) >= 2
         assert sum(s for _, s, _ in parts) == plan.layers[0].cout
