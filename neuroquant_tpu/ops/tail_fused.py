@@ -106,6 +106,22 @@ def _gelu_grad(z):
 # --------------------------------------------------------------------------
 # Static plan
 # --------------------------------------------------------------------------
+@lru_cache(maxsize=256)
+def _union_blocks(sparse) -> tuple:
+    """Sorted distinct (py, px, gin) blocks over every output group's taps.
+
+    The 'upatches' K axis: a packed layer's group q reads k^2 of the
+    k^2 * f^2 possible (tap, input-group) blocks, but the UNION over all f^2
+    groups is only (k + f - 1)^2 / f^2 * k^2-ish blocks (each axis takes
+    k + f - 1 distinct (subposition + tap offset) values, not k * f) — e.g.
+    the HNeRV head (k=3, f=4): 36 union blocks vs 144 dense, so one
+    (cout, 36*cin_o) matmul spans 1/4 the MXU K-tiles of the dense packed
+    kernel while still producing every output row at once (the canonical
+    packed weight is zero at the blocks a group does not read)."""
+    _, _, _, qtaps = sparse
+    return tuple(sorted({blk for taps in qtaps for blk in taps}))
+
+
 @dataclasses.dataclass(frozen=True)
 class TailLayer:
     cin: int            # packed input channels, padded to 8
@@ -171,6 +187,12 @@ class TailPlan:
                   for (py, px, gin) in taps)
             for taps in qtaps)
 
+    def ushifts(self, layer: TailLayer) -> Tuple[Tuple[int, int], ...]:
+        """Distinct (shift, gin) pairs over EVERY group's taps ('upatches'):
+        the union K axis any output group's row reads from."""
+        return tuple(((py - layer.off) * self.wp + (px - layer.off), gin)
+                     for (py, px, gin) in _union_blocks(layer.sparse))
+
     def guard(self, layer: TailLayer) -> int:
         s = self.shifts(layer)
         return max(-min(s), max(s))
@@ -231,19 +253,24 @@ _SWEEP_PINS = {
     (176, 592, 3, True, "fwd"): ("qpatches", 1024),
     (176, 592, 3, True, "dw"): ("qpatches", 1024),
     (592, 176, 3, True, "fwd"): ("taps", 2048),      # L1 dx
-    # head fwd NOT pinned: the sweep's kn2row@4096 (437us vs taps@2048's
-    # 476) OOMs scoped vmem under the production bias+mask epilogue
-    (592, 48, 3, True, "dw"): ("taps", 2048),
-    (48, 592, 3, True, "fwd"): ("qpatches", 2048),   # head dx
     # NeRV-3M Bunny tail (plan 160x320, layers 24->96->384->48)
     (24, 96, 3, False, "fwd"): ("patches", 4096),
     (24, 96, 3, False, "dw"): ("patches", 1024),
     (96, 24, 3, False, "fwd"): ("taps", 2048),       # L0 dx
-    (96, 384, 3, True, "fwd"): ("qpatches", 1024),
-    (96, 384, 3, True, "dw"): ("qpatches", 1024),
-    (384, 96, 3, True, "fwd"): ("taps", 2048),       # L1 dx
-    (384, 48, 3, True, "dw"): ("taps", 1024),
-    (48, 384, 3, True, "fwd"): ("qpatches", 2048),   # head dx
+    (96, 384, 3, True, "fwd"): ("upatches", 4096),   # 256us vs qpatches 290
+    (96, 384, 3, True, "dw"): ("qpatches", 2048),    # 172us vs upatches 202
+    (384, 96, 3, True, "fwd"): ("upatches", 2048),   # L1 dx: 266 vs taps 332
+    (384, 48, 3, True, "fwd"): ("upatches", 2048),   # head fwd: 196 vs 239
+    (384, 48, 3, True, "dw"): ("upatches", 2048),    # 193us vs taps 293
+    (48, 384, 3, True, "fwd"): ("upatches", 2048),   # head dx: 244 vs 293
+    # union-sparse (upatches) winners above and below are from the 400-iter
+    # production-epilogue sweep 2026-08-19. HNeRV head's three kernels
+    # (fwd 331 vs 455 taps; dx 359 vs 416 qpatches; dw 347 vs 488 taps);
+    # HNeRV L1 stays qpatches/taps (fwd 747 vs 735; dx 990 vs 836 — the
+    # fat-cout geometry already fills the MXU).
+    (592, 48, 3, True, "fwd"): ("upatches", 2048),   # head fwd
+    (592, 48, 3, True, "dw"): ("upatches", 2048),    # head dW
+    (48, 592, 3, True, "fwd"): ("upatches", 2048),   # head dx
     # HNeRV UVG f=6 tail (same 160x320/2048 plan geometry; sweep with the
     # production GELU' epilogue, tail_layer_bench --arch hnerv_uvg --bwd):
     # L1 dx — the model's qpatches picks FAIL Mosaic scoped vmem at every
@@ -274,6 +301,7 @@ def _exec_cfg(plan: TailPlan, layer: TailLayer, itemsize: int,
     if sp is not None:
         k_o, cin_o, cout_o, qtaps = sp
         f2, k2cin = len(qtaps), k_o * k_o * cin_o
+        ucin = len(_union_blocks(sp)) * cin_o      # upatches K dimension
 
     kdp = taps * _cin_pad(cin8, itemsize)       # dpatches K dimension
 
@@ -285,11 +313,13 @@ def _exec_cfg(plan: TailPlan, layer: TailLayer, itemsize: int,
         else:
             v = 2 * cin8 * span * itemsize      # double-buffered input
         v += (k2cin * cout_o if mode == "qpatches"
+              else ucin * cout8 if mode == "upatches"
               else kdp * cout8 if mode == "dpatches"
               else taps * cin8 * cout8) * itemsize   # resident weights
         if kind == "dw":
             v += 2 * cout8 * tm * itemsize      # g tiles (double-buffered)
             v += (cout_o * k2cin if mode == "qpatches"
+                  else cout8 * ucin if mode == "upatches"
                   else cout8 * layer.k_dim if mode in ("patches", "ppatches")
                   else cout8 * kdp if mode == "dpatches"
                   else taps * cout8 * cin8) * 4   # accumulated dW
@@ -308,6 +338,8 @@ def _exec_cfg(plan: TailPlan, layer: TailLayer, itemsize: int,
         elif mode == "qpatches":
             # 2 pipelined slots in the dW kernel, 1 in the fwd
             v += (2 if kind == "dw" else 1) * k2cin * tm * itemsize
+        elif mode == "upatches":
+            v += ucin * tm * itemsize           # single union slot
         return v
 
     def cost(mode, tm):
@@ -318,6 +350,12 @@ def _exec_cfg(plan: TailPlan, layer: TailLayer, itemsize: int,
             # same-weight matmuls, hence rows(cout_o * f^2).
             c = (f2 * _r128(k2cin) * _r8(cout_o) * rows(_r8(cout_o) * f2)
                  + _ASM_PATCHES * f2 * k2cin)
+        elif mode == "upatches":
+            # one matmul over the union K of all groups' nonzero blocks:
+            # pays cout8 (not cout_o) rows but ~(k+f-1)^2/(kf)^2 of the
+            # dense K — the win for tiny-cout_o layers whose groups starve
+            # the MXU (head) and for any packed layer with k > f
+            c = (_r128(ucin) * cout8 * rows(cout8) + _ASM_PATCHES * ucin)
         elif mode == "patches":
             c = (_r128(taps * cin8) * cout8 * rows(cout8)
                  + _ASM_PATCHES * taps * cin8)
@@ -386,6 +424,10 @@ def _exec_cfg(plan: TailPlan, layer: TailLayer, itemsize: int,
         # Mosaic's scoped-vmem stack through the f^2-way concat of sub-8-row
         # matmul results — qpatches is only offered with real row counts
         modes = modes + ("qpatches",)
+    if sp is not None:
+        # upatches has no row-count restriction: one full-cout matmul on
+        # the union K (the tiny-row case is exactly where it wins most)
+        modes = modes + ("upatches",)
     best = None
     for mode in modes:
         tm = plan.tm
@@ -584,6 +626,16 @@ def _kk_to_op(kk, layer: TailLayer, mode: str, itemsize: int = 2):
         blocks = [kk[py, px, gin * cin_o:(gin + 1) * cin_o, :cout_o]
                   for (py, px, gin) in qtaps[0]]
         return jnp.transpose(jnp.concatenate(blocks, axis=0), (1, 0))
+    if mode == "upatches":
+        # union-sparse patches operand (cout, n_u*cin_o): keep ONLY the
+        # (tap, input-group) cin_o-row blocks some output group reads
+        # (_union_blocks) but ALL output rows — the canonical packed kernel
+        # is zero at the blocks a given group does not read, so one matmul
+        # covers every group with the union K instead of the dense k^2*f^2
+        cin_o = layer.sparse[1]
+        blocks = [kk[py, px, gin * cin_o:(gin + 1) * cin_o, :]
+                  for (py, px, gin) in _union_blocks(layer.sparse)]
+        return jnp.transpose(jnp.concatenate(blocks, axis=0), (1, 0))
     if mode in ("patches", "ppatches", "xpatches"):
         # K index = (ty*side + tx) * cin + ci
         return kk.transpose(3, 0, 1, 2).reshape(cout, layer.k_dim)
@@ -612,6 +664,18 @@ def _op_to_kk_grad(dw, layer: TailLayer, mode: str):
             blk = dw[:, t * cin_o:(t + 1) * cin_o]        # (cout_o, cin_o)
             dkk = dkk.at[py, px, gin * cin_o:(gin + 1) * cin_o,
                          :cout_o].set(jnp.transpose(blk, (1, 0)))
+        return dkk
+    if mode == "upatches":
+        # dw is the union-layout gradient (cout, n_u cin_o); scatter each
+        # union block back to its canonical position. Rows of blocks a group
+        # does not read land at structurally-zero canonical positions the
+        # pack-gather VJP never reads (same argument as qpatches above).
+        cin_o = layer.sparse[1]
+        dkk = jnp.zeros((side, side, layer.cin, layer.cout), dw.dtype)
+        for u, (py, px, gin) in enumerate(_union_blocks(layer.sparse)):
+            blk = dw[:, u * cin_o:(u + 1) * cin_o]        # (cout, cin_o)
+            dkk = dkk.at[py, px, gin * cin_o:(gin + 1) * cin_o, :].set(
+                jnp.transpose(blk, (1, 0)))
         return dkk
     if mode in ("patches", "ppatches"):
         dw = dw.reshape(layer.cout, side, side, layer.cin)
@@ -734,6 +798,21 @@ def _accumulate(xt, w_ref, patches, *, shifts, guard, tm, mode,
                 [acc, jnp.zeros((layer.cout - acc.shape[0], tm),
                                 jnp.float32)], axis=0)
         return acc
+    if mode == "upatches":
+        # union-sparse packed conv: assemble each DISTINCT (shift, gin)
+        # block once (shifts = plan.ushifts) and run ONE
+        # (cout, n_u*cin_o) @ (n_u*cin_o, tm) matmul — the resident weight
+        # carries every output group's rows (zero at blocks that group does
+        # not read), so this replaces qpatches' f^2 sub-cout_o-row dots and
+        # the dense kernel's k^2*f^2 K axis with the n_u-block union: the
+        # fix for tile-granularity-bound tiny-row layers like the 48-row
+        # head (42 dense K-tiles -> 11).
+        cin_o = layer.sparse[1]
+        for u, (s, gin) in enumerate(shifts):
+            patches[0, u * cin_o:(u + 1) * cin_o, :] = (
+                xt[gin * cin_o:(gin + 1) * cin_o, guard + s: guard + s + tm])
+        return jnp.dot(w_ref[...], patches[0],
+                       preferred_element_type=jnp.float32)
     if mode in ("patches", "ppatches"):
         # ppatches: the tap set split in two half-K chunks, two slots,
         # chunk h+1 assembled while chunk h multiplies (same overlap as
@@ -882,6 +961,17 @@ def _dw_kernel(x_hbm, g_ref, dw_ref, db_ref, *scr,
             dw_ref[...] += jax.lax.dot_general(
                 g[q * cout_o:(q + 1) * cout_o], patches[q % 2], contract,
                 preferred_element_type=jnp.float32)
+    elif mode == "upatches":
+        # union-layout dW (cout, n_u cin_o) in ONE dot per tile: every
+        # output row against the union patches (see _accumulate); blocks a
+        # group does not read produce gradient the canonical scatter parks
+        # at structurally-zero kernel positions (_op_to_kk_grad)
+        cin_o = layer.sparse[1]
+        for u, (s, gin) in enumerate(shifts):
+            patches[0, u * cin_o:(u + 1) * cin_o, :] = (
+                xt[gin * cin_o:(gin + 1) * cin_o, guard + s: guard + s + tm])
+        dw_ref[...] += jax.lax.dot_general(
+            g, patches[0], contract, preferred_element_type=jnp.float32)
     elif mode in ("patches", "ppatches"):
         chunks = ([tuple(range(layer.taps))]
                   if mode == "patches" or layer.taps < 2 else
@@ -926,6 +1016,10 @@ def _scratch(plan, layer, cfg, dtype, dw=False):
         # group-by-group into one slot (see _accumulate)
         k_o, cin_o, _, _ = layer.sparse
         pat = pltpu.VMEM((2 if dw else 1, k_o * k_o * cin_o, cfg.tm), dtype)
+    elif cfg.mode == "upatches":
+        cin_o = layer.sparse[1]
+        pat = pltpu.VMEM((1, len(_union_blocks(layer.sparse)) * cin_o,
+                          cfg.tm), dtype)
     elif cfg.mode == "ppatches":
         pat = pltpu.VMEM((2, ((layer.taps + 1) // 2) * layer.cin, cfg.tm),
                          dtype)
@@ -993,6 +1087,8 @@ def _conv_cf_one(x, kk, bias, out_mul, plan: TailPlan, layer: TailLayer,
     mask = border_mask(plan, out_dtype).reshape(1, plan.mp)
     kern = partial(_fwd_kernel,
                    shifts=(plan.qshifts(layer) if cfg.mode == "qpatches"
+                           else plan.ushifts(layer)
+                           if cfg.mode == "upatches"
                            else plan.shifts(layer)),
                    guard=plan.guard(layer), span=cfg.span(plan, layer),
                    tm=cfg.tm, n_tiles=nt, mode=cfg.mode, layer=layer,
@@ -1093,6 +1189,11 @@ def _conv_cf_dw_one(x, g, plan: TailPlan, layer: TailLayer,
         dw_shape = (cout_o, k_o * k_o * cin_o)
         dw_spec = pl.BlockSpec(dw_shape, lambda l: (0, 0),
                                memory_space=pltpu.VMEM)
+    elif cfg.mode == "upatches":
+        cin_o = layer.sparse[1]
+        dw_shape = (layer.cout, len(_union_blocks(layer.sparse)) * cin_o)
+        dw_spec = pl.BlockSpec(dw_shape, lambda l: (0, 0),
+                               memory_space=pltpu.VMEM)
     elif cfg.mode in ("patches", "ppatches"):
         dw_shape = (layer.cout, layer.k_dim)
         dw_spec = pl.BlockSpec(dw_shape, lambda l: (0, 0),
@@ -1108,6 +1209,8 @@ def _conv_cf_dw_one(x, g, plan: TailPlan, layer: TailLayer,
                                memory_space=pltpu.VMEM)
     kern = partial(_dw_kernel,
                    shifts=(plan.qshifts(layer) if cfg.mode == "qpatches"
+                           else plan.ushifts(layer)
+                           if cfg.mode == "upatches"
                            else plan.shifts(layer)),
                    guard=plan.guard(layer), span=cfg.span(plan, layer),
                    tm=cfg.tm, n_tiles=nt, mode=cfg.mode, layer=layer,

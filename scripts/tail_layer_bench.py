@@ -107,7 +107,13 @@ def main():
     ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--bwd", action="store_true",
                     help="also time convT and dW per layer")
+    ap.add_argument("--modes", default=None,
+                    help="comma list restricting the sweep (e.g. upatches)")
+    ap.add_argument("--layers", default=None,
+                    help="comma list of layer indices to sweep")
     args = ap.parse_args()
+    only = set(args.modes.split(",")) if args.modes else None
+    lsel = set(int(i) for i in args.layers.split(",")) if args.layers else None
 
     h, w, c0, blocks, head = build(args.arch, jnp.float32)
     plan, kks, bms, f, ch = tf.plan_and_pack(h, w, blocks, head)
@@ -131,6 +137,8 @@ def main():
                            else "z")
 
     for li, layer in enumerate(plan.layers):
+        if lsel is not None and li not in lsel:
+            continue
         sp = layer.sparse
         # dense flops of this layer in the packed domain; sparse layers do
         # 1/f^2 of that in original-kernel terms
@@ -147,8 +155,11 @@ def main():
         modes = ["patches", "xpatches", "taps", "xtaps", "kn2row"]
         if sp is not None:
             modes.append("qpatches")
+            modes.append("upatches")
         xin = xs[li]
         for mode in modes:
+            if only is not None and mode not in only:
+                continue
             for tm in (256, 512, 1024, 2048, 4096):
                 os.environ["NQ_TAIL_MODE"] = \
                     f"{layer.cin}x{layer.cout}={mode}@{tm}"
@@ -182,7 +193,10 @@ def main():
             om = xs[li] if layer.gelu_in else None
             ktr = tf._kk_transpose(kks_c[li])
             for mode in (["patches", "dpatches", "taps", "kn2row"]
-                         + (["qpatches"] if lt.sparse else [])):
+                         + (["qpatches", "upatches"]
+                            if lt.sparse else [])):
+                if only is not None and mode not in only:
+                    continue
                 for tm in (256, 512, 1024, 2048):
                     os.environ["NQ_TAIL_MODE"] = \
                         f"{lt.cin}x{lt.cout}={mode}@{tm}"
@@ -198,7 +212,10 @@ def main():
                         print(f"  dx  {mode:9s}@{tm}: FAIL {str(e)[:60]}")
             # dW pass
             for mode in (["patches", "dpatches", "taps"]
-                         + (["qpatches"] if layer.sparse else [])):
+                         + (["qpatches", "upatches"]
+                            if layer.sparse else [])):
+                if only is not None and mode not in only:
+                    continue
                 for tm in (256, 512, 1024, 2048):
                     os.environ["NQ_TAIL_MODE"] = \
                         f"{layer.cin}x{layer.cout}={mode}@{tm}"

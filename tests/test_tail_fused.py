@@ -98,13 +98,36 @@ class TestOpsEquivalence:
             scale = float(jnp.abs(a).max()) + 1e-12
             assert float(jnp.abs(a - b).max()) / scale < 1e-5
 
+    def test_gradients_upatches(self, tail_case):
+        """Union-sparse mode on the mid layer: fwd + dx + dw (incl. the
+        union canonical-dkk scatter) must match the dense oracle's gradients
+        w.r.t. the ORIGINAL weights (the pack-gather VJP only reads packed
+        positions, so the union rows parked at structurally-zero canonical
+        positions are immaterial)."""
+        import os
+        x, ws = tail_case
+        cot = jnp.asarray(RNG.randn(B, 4 * H, 4 * W, 3), jnp.float32)
+        g_o = jax.grad(lambda a: jnp.sum(_oracle(*a) * cot))((x, *ws))
+        tf._exec_cfg.cache_clear()
+        os.environ["NQ_TAIL_MODE"] = "16x48=upatches@128"
+        try:
+            g_f = jax.grad(lambda a: jnp.sum(
+                _fused(*a, apply_fn=tf.tail_apply) * cot))((x, *ws))
+        finally:
+            del os.environ["NQ_TAIL_MODE"]
+            tf._exec_cfg.cache_clear()
+        for a, b in zip(jax.tree_util.tree_leaves(g_o),
+                        jax.tree_util.tree_leaves(g_f)):
+            scale = float(jnp.abs(a).max()) + 1e-12
+            assert float(jnp.abs(a - b).max()) / scale < 1e-5
+
     def test_all_exec_modes_match(self, tail_case):
         """Force each kernel mode on the mid layer; outputs must agree."""
         import os
         x, ws = tail_case
         ref = _fused(x, *ws, apply_fn=tf.tail_apply_jnp)
         for mode in ("patches", "ppatches", "dpatches", "taps", "kn2row",
-                     "qpatches"):
+                     "qpatches", "upatches"):
             tf._exec_cfg.cache_clear()
             os.environ["NQ_TAIL_MODE"] = f"16x48={mode}@128"
             try:
