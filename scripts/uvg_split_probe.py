@@ -1,15 +1,15 @@
 """Split-Pallas vs XLA-packed decode at the UVG f=6 geometry.
 
 The UVG HNeRV tail's cost-model pack start (f=6) produces layers whose
-one-call working set exceeds VMEM; the cout-row split (tail_fused
-._split_parts) makes them runnable as Pallas but had never been timed on
-hardware, so gate_fused_impl demotes split-only plans under 'auto'
-(commit 8d7ca05) and this probe answers whether that demotion costs or
-saves throughput. Three executions of the SAME decode on synthetic UVG
-embeddings:
+one-call working set exceeded VMEM before the upatches mode landed; this
+probe originally settled whether the cout-row split execution beats the
+XLA packed path it demoted to (it does: 221.6 vs 151.2 FPS, which made
+split-feasible plans the 'auto' choice), and now doubles as the UVG
+regression probe after kernel changes. Three executions of the SAME
+decode on synthetic UVG embeddings:
 
-  auto    -> XLA packed execution (the shipped choice, ~150 FPS)
-  pallas  -> fused tail with the cout-row split kernels
+  auto    -> the models' gate_fused_impl choice (now Pallas, 240+ FPS)
+  pallas  -> fused tail forced (split or one-call per the plan)
   jnp     -> channels-first jnp twin (for scale)
 
 Usage: python scripts/uvg_split_probe.py [--arch hnerv] [--frames 8]

@@ -243,6 +243,26 @@ class TestModelIntegration:
         assert tf.resolve_impl("pallas") == "pallas"
 
 
+class TestUnionBlocks:
+    """The 'upatches' union K structure: each axis of a packed k x k conv
+    takes k + f - 1 distinct (subposition + tap offset) values, so the
+    union over all f^2 output groups is (k + f - 1)^2 blocks — vs the
+    dense kernel's (kp*f)^2-ish and qpatches' f^2 * k^2 with multiplicity."""
+
+    @pytest.mark.parametrize("k,f", [(3, 4), (3, 2), (5, 2), (5, 3)])
+    def test_union_count(self, k, f):
+        from neuroquant_tpu.ops.packed_decode import packed_sparse_taps
+        qt_fwd, qt_t = packed_sparse_taps(k, f, None)
+        sparse = (k, 7, 5, qt_fwd)               # cin_o/cout_o arbitrary
+        ub = tf._union_blocks(sparse)
+        assert len(ub) == (k + f - 1) ** 2
+        assert len(set(ub)) == len(ub)           # distinct, sorted
+        assert list(ub) == sorted(ub)
+        # every group's taps are contained in the union
+        for taps in qt_fwd:
+            assert set(taps) <= set(ub)
+
+
 class TestVmemFeasibilityFallback:
     """A plan with a layer no Pallas execution can fit in VMEM — one call
     OR a cout-row split — must downgrade to the jnp twin instead of failing
