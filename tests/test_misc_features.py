@@ -82,6 +82,23 @@ class TestConfigValidation:
             validate_config({}, "resnet")
 
 
+class TestBenchContract:
+    def test_headline_json_carries_bench_keys(self):
+        """bench.py publishes PSNR@bpp from results/headline.json; a key
+        rename there would silently drop the metric from BENCH_r{N}.json."""
+        import json
+        import os
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(root, "results", "headline.json")) as f:
+            head = json.load(f)
+        h = head["hnerv"]
+        for key in ("quantized_psnr_db", "bpp", "ref_quantized_psnr_db"):
+            assert isinstance(h[key], float), key
+        # the headline RD point must stay within the BASELINE quality bar
+        assert abs(h["quantized_psnr_db"] - h["ref_quantized_psnr_db"]) < 0.06
+
+
 class TestSchedules:
     def test_cosine_matches_reference_formula(self):
         import math

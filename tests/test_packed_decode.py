@@ -237,6 +237,22 @@ class TestPackGating:
         params = m.init(jax.random.PRNGKey(0), x)
         assert m.bind(params).pack_start is None
 
+    def test_explicit_out_of_range_fails_loudly(self):
+        """A config typo in packed_tail would silently disable packing
+        (~5x decode regression with no functional signal) — it must raise."""
+        from neuroquant_tpu.ops.packed_decode import resolve_pack_start
+
+        kw = dict(kernels=[1, 3, 3], strides=[5, 4, 4], dec_norm="none",
+                  in_channels=[24, 20, 16], out_channels=[20, 16, 3],
+                  crop_h=80, crop_w=160)
+        with pytest.raises(ValueError, match="out of range"):
+            resolve_pack_start(7, **kw)
+        with pytest.raises(ValueError, match="out of range"):
+            resolve_pack_start(-1, **kw)
+        # in-range explicit index passes through unchanged
+        assert resolve_pack_start(2, **kw) == 2
+        assert resolve_pack_start("off", **kw) is None
+
 
 class TestPNeRVPackedTail:
     """PNeRV's post-fusion tail (last block + head) runs packed/fused
