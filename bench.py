@@ -117,7 +117,11 @@ def child(progress_path: str, batch_size: int, iters: int) -> None:
     # BASELINE.md tracks three metrics; measure decode FPS/chip here too
     # (weight VALUES don't affect throughput) and stream it to the parent
     from neuroquant_tpu.methods.common import measure_decode_fps
-    fps = measure_decode_fps(model, params, cali_data, 1, n_iters=100)
+    # n_iters=400 + RTT-corrected timing (methods/common.py measure_decode_fps)
+    # so the number no longer depends on the container's tunnel latency —
+    # the r3 driver bench read 333.9 vs the repo's 471.5 purely because its
+    # per-invocation round trip was ~85 ms slower inside a 100-frame window
+    fps = measure_decode_fps(model, params, cali_data, 1, n_iters=400)
     logging.info("decode fps (batch 1): %.1f", fps)
     prog.write(json.dumps({"decode_fps": round(float(fps), 1)}) + "\n")
     prog.write(json.dumps({"done": True, "total_s": round(total, 1)}) + "\n")

@@ -42,7 +42,7 @@ def bench_decode(arch: str, variants):
             emb = jax.jit(lambda p, x: model.apply(p, x, method="encode"))(
                 params, jnp.asarray([0.0]))
         emb = jnp.concatenate([emb] * 8, 0)
-        fps = measure_decode_fps(model, params, emb, 1, n_iters=100)
+        fps = measure_decode_fps(model, params, emb, 1, n_iters=400)
         print(f"{arch:6s} {name:16s} decode {fps:8.1f} FPS  "
               f"({1000.0 / fps:.2f} ms/frame)")
 
