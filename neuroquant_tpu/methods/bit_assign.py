@@ -4,8 +4,9 @@ CLI-compatible re-design of methods/bit_assign.py: evaluate the FP32 model
 (harvesting embeddings), then for each candidate bit vector build a QuantSpec,
 initialize scales, and score the perturbation with the Omega Hessian criterion
 (or diagonal Fisher); the lowest score wins. The Hessian-vector product is
-jax.jvp over jax.grad in a single jitted 10-batch scan (sensitivity.py) instead
-of the reference's per-batch double backward (bit_assign.py:57-118).
+jax.grad over jax.jvp in a single jitted 10-batch scan (sensitivity.py) —
+running the fused Pallas tail via its custom_jvp rule — instead of the
+reference's per-batch double backward (bit_assign.py:57-118).
 
 Run:
   python -m neuroquant_tpu.methods.bit_assign --config configs/HNeRV/Bunny_1280x640_3M.yaml \
@@ -65,6 +66,13 @@ def parse_args(argv):
     parser.add_argument("--mode", default="omega", type=str,
                         choices=["omega", "fisher_diag"])
     parser.add_argument("--ckpt", default="None", type=str)
+    parser.add_argument("--hvp_impl", default="pallas", type=str,
+                        choices=["pallas", "xla"],
+                        help="HVP decode execution: fused Pallas kernels "
+                             "(pallas_hvp) or the XLA packed path")
+    parser.add_argument("--remat", action="store_true",
+                        help="jax.checkpoint the HVP loss (fits PNeRV's "
+                             "batch-2 HVP in HBM at the cost of recompute)")
     parser.add_argument("--candidates", default="", type=str,
                         help="optional: semicolon-separated bit lists, e.g. "
                              "'6,5,4,5,5,6,6;2,3,4,6,4,4,2' (defaults to the "
@@ -80,12 +88,16 @@ def assign(args, cfg):
     common.split_dataset(args, dataset)
 
     rng = jax.random.PRNGKey(args.seed)
-    # The omega criterion is an HVP — jax.jvp over jax.grad (sensitivity.py).
-    # The fused Pallas tail carries a jax.custom_vjp, which supports reverse
-    # mode only; forward-over-reverse through it fails at trace time. Force
-    # the XLA packed execution (identical math, pure XLA ops — jvp-capable
-    # and faster than the jnp CF twin) for this stage.
-    cfg["fused_tail"] = "off"
+    # The omega criterion is an HVP, computed reverse-over-forward:
+    # Hv = grad(w -> jvp(L, w, v)). The 'pallas_hvp' tail execution carries
+    # a custom_jvp rule built from first-order Pallas conv primitives
+    # (tail_fused.tail_apply_fo), so both differentiation passes run the
+    # fused kernels. --hvp_impl xla selects the XLA packed execution instead
+    # (identical math; the round-3 fallback). Infeasible plans demote
+    # automatically (gate_fused_impl).
+    # fisher_diag is a plain gradient — the production fused tail handles it
+    cfg["fused_tail"] = ("off" if args.hvp_impl == "xla" else
+                         "pallas_hvp" if args.mode == "omega" else "auto")
     model, params = common.setup_run(args, cfg, rng)
     args.outf = os.path.join(
         args.outf, "sensitivity-{}_{}-init_batch{}_CW".format(
@@ -127,7 +139,8 @@ def assign(args, cfg):
 
         score, _ = sensitivity_criterion(
             args.mode, args.arch, model, params, spec, state,
-            dataset.frames, dataset.norm_idx, args.batch_size, seed=args.seed)
+            dataset.frames, dataset.norm_idx, args.batch_size, seed=args.seed,
+            remat=args.remat)
         logging.info(f"[{candidate}: {bits}] The {args.mode} sensitivity "
                      f"score =\t{score:.3e}")
         if score < best_score:

@@ -117,7 +117,7 @@ def gate_fused_impl(impl, t, kernels, strides, in_channels, out_channels,
     geometry that needs it — UVG f=6 decodes at 221.6 FPS split-Pallas vs
     151.2 XLA-packed vs 87.9 jnp (scripts/uvg_split_probe.py, RESULTS.md).
     allow_split=False reports one-call feasibility only (diagnostics)."""
-    if impl == "pallas" and not fused_tail_feasible(
+    if impl in ("pallas", "pallas_hvp") and not fused_tail_feasible(
             t, kernels, strides, in_channels, out_channels, crop_h, crop_w,
             head_kernel, head_out, allow_split=allow_split):
         return None

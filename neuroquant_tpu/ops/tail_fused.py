@@ -1375,6 +1375,95 @@ def tail_apply_jnp(plan: TailPlan, x_cf, kks, biases):
 
 
 # --------------------------------------------------------------------------
+# HVP-capable execution ('pallas_hvp'): forward-mode support for the fused
+# tail, so Hessian-vector products (Omega sensitivity, bit_assign.py:57-118)
+# run the Pallas kernels instead of falling back to the XLA packed path.
+#
+# jax.custom_vjp is strictly first-order (differentiating its fwd rule tries
+# to jvp the raw pallas_call and fails), so neither jvp-over-grad nor
+# grad-of-grad can pass through tail_apply. The workable factoring is
+# reverse-over-FORWARD: Hv = grad(w -> jvp(L, w, v)), where
+#   * the jvp through the tail is supplied by a custom_jvp rule
+#     (tail_apply_fo) whose tangent propagation is hand-written from conv_p
+#     calls — the conv is bilinear, dz = conv(dx, W) + conv(x, dW) + db,
+#     with GELU/GELU' as XLA elementwise ops, and
+#   * the outer grad then reverse-differentiates that graph ONCE: every op
+#     in it is either XLA (differentiable) or conv_p, a first-order
+#     custom_vjp primitive whose backward runs the production Pallas dx/dW
+#     kernels (jnp fallbacks exactly where the production backward uses
+#     them, _bwd_needs_split).
+# No second-order autodiff ever touches a Pallas call.
+# --------------------------------------------------------------------------
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def conv_p(plan: TailPlan, layer: TailLayer, x, kk, bias):
+    """One masked channels-first conv z = mask * (conv(x, kk) + bias) as a
+    first-order-differentiable primitive. bias may be None. No activation
+    epilogues: the HVP composition applies GELU as XLA elementwise ops —
+    this path runs only the ~10-batch sensitivity stage, not the
+    calibration hot loop."""
+    return _conv_cf(x, kk, bias, None, plan, layer, x.dtype, emit="z")
+
+
+def _conv_p_fwd(plan, layer, x, kk, bias):
+    z = _conv_cf(x, kk, bias, None, plan, layer, x.dtype, emit="z")
+    return z, (x, kk, bias is not None)
+
+
+def _conv_p_bwd(plan, layer, res, g):
+    x, kk, has_bias = res
+    itemsize = jnp.dtype(g.dtype).itemsize
+    g = g * border_mask(plan, g.dtype)
+    if _bwd_needs_split(plan, layer, itemsize, "dw"):
+        dkk, db = _conv_cf_dw_jnp(x, g, plan, layer)
+    else:
+        dkk, db = _conv_cf_dw(x, g, plan, layer)
+    lt = layer.transposed()
+    if _bwd_needs_split(plan, lt, itemsize, "fwd1"):
+        dx = _conv_cf_jnp(g, _kk_transpose(kk), None, None, plan, lt, g.dtype)
+    else:
+        dx = _conv_cf(g, _kk_transpose(kk), None, None, plan, lt, g.dtype)
+    return (dx, dkk.astype(kk.dtype),
+            db.astype(g.dtype) if has_bias else None)
+
+
+conv_p.defvjp(_conv_p_fwd, _conv_p_bwd)
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(0,))
+def tail_apply_fo(plan: TailPlan, x_cf, kks, biases):
+    """Forward-mode-capable twin of :func:`tail_apply` (see block comment).
+    Primal evaluation is the production fused forward; under jax.jvp the
+    custom rule below propagates (value, tangent) pairs layer by layer with
+    conv_p matmuls and exact XLA GELU/GELU'.
+
+    Supported transforms: eval, jax.jvp, and grad-OF-jvp (the HVP). Plain
+    jax.grad is NOT supported (it would transpose the tangent graph through
+    conv_p's custom_vjp — NotImplementedError); use tail_apply for ordinary
+    gradients."""
+    out, _ = _tail_fwd_impl(plan, _conv_cf, x_cf, tuple(kks), tuple(biases),
+                            keep_residuals=False)
+    return out
+
+
+@tail_apply_fo.defjvp
+def _tail_apply_fo_jvp(plan, primals, tangents):
+    x_cf, kks, biases = primals
+    dx_cf, dkks, dbiases = tangents
+    h, dh = x_cf, dx_cf
+    for li, layer in enumerate(plan.layers):
+        if layer.gelu_in:
+            hf = h.astype(jnp.float32)
+            dh = (_gelu_grad(hf) * dh.astype(jnp.float32)).astype(h.dtype)
+            h = _gelu(h)
+        z = conv_p(plan, layer, h, kks[li], biases[li])
+        dz = conv_p(plan, layer, dh, kks[li], None) \
+            + conv_p(plan, layer, h, dkks[li],
+                     None if biases[li] is None else dbiases[li])
+        h, dh = z, dz.astype(z.dtype)
+    return h, dh
+
+
+# --------------------------------------------------------------------------
 # Plan building + weight packing
 # --------------------------------------------------------------------------
 @lru_cache(maxsize=64)
@@ -1522,9 +1611,10 @@ def resolve_impl(fused_tail: str) -> str | None:
         return None
     if ft == "auto":
         return "pallas" if jax.default_backend() == "tpu" else None
-    if ft in ("pallas", "jnp"):
+    if ft in ("pallas", "jnp", "pallas_hvp"):
         return ft
-    raise ValueError(f"fused_tail={fused_tail!r} (use auto|pallas|jnp|off)")
+    raise ValueError(
+        f"fused_tail={fused_tail!r} (use auto|pallas|pallas_hvp|jnp|off)")
 
 
 def _mxu_cast(x_cf, kks, bms, out_dtype):
@@ -1540,10 +1630,15 @@ def _mxu_cast(x_cf, kks, bms, out_dtype):
             tuple(cast(bm) for bm in bms), jnp.bfloat16)
 
 
+def _tail_fn(impl: str):
+    return {"pallas": tail_apply, "pallas_hvp": tail_apply_fo,
+            "jnp": tail_apply_jnp}[impl]
+
+
 def _effective_impl(impl: str, plan: TailPlan, dtype) -> str:
-    """Downgrade 'pallas' to the jnp twin when the plan has a layer no
-    Pallas mode can fit in VMEM (identical math, XLA-scheduled)."""
-    if impl != "pallas":
+    """Downgrade 'pallas'/'pallas_hvp' to the jnp twin when the plan has a
+    layer no Pallas mode can fit in VMEM (identical math, XLA-scheduled)."""
+    if impl not in ("pallas", "pallas_hvp"):
         return impl
     itemsize = (2 if dtype == jnp.float32 and jax.default_backend() == "tpu"
                 else jnp.dtype(dtype).itemsize)  # _mxu_cast makes fp32 bf16
@@ -1561,7 +1656,7 @@ def run_fused_tail(x, blocks, head, impl: str = "pallas", tm: int = 0):
     h, w = int(x.shape[1]), int(x.shape[2])
     plan, kks, bms, f, ch = plan_and_pack(h, w, blocks, head, tm=tm)
     impl = _effective_impl(impl, plan, x.dtype)
-    fn = tail_apply if impl == "pallas" else tail_apply_jnp
+    fn = _tail_fn(impl)
     dt = x.dtype
     x_cf, kks, bms, _ = _mxu_cast(nhwc_to_cf(x, plan), kks, bms, x.dtype)
     z = fn(plan, x_cf, kks, bms)
@@ -1577,7 +1672,7 @@ def run_fused_tail_cf(x, blocks, head, impl: str = "pallas", tm: int = 0):
     h, w = int(x.shape[1]), int(x.shape[2])
     plan, kks, bms, f, ch = plan_and_pack(h, w, blocks, head, tm=tm)
     impl = _effective_impl(impl, plan, x.dtype)
-    fn = tail_apply if impl == "pallas" else tail_apply_jnp
+    fn = _tail_fn(impl)
     dt = x.dtype
     x_cf, kks, bms, _ = _mxu_cast(nhwc_to_cf(x, plan), kks, bms, x.dtype)
     z = fn(plan, x_cf, kks, bms)
@@ -1684,10 +1779,12 @@ def run_fused_tail_frames(x, blocks, head, out_bias: str,
     h, w = int(x.shape[1]), int(x.shape[2])
     plan, kks, bms, f, ch = plan_and_pack(h, w, blocks, head, tm=tm)
     impl = _effective_impl(impl, plan, x.dtype)
-    fn = tail_apply if impl == "pallas" else tail_apply_jnp
+    fn = _tail_fn(impl)
     dt = x.dtype
     x_cf, kks_c, bms_c, _ = _mxu_cast(nhwc_to_cf(x, plan), kks, bms, x.dtype)
     z = fn(plan, x_cf, kks_c, bms_c)
+    # pallas_hvp must NOT use unpack_frames: its custom_vjp cannot be
+    # forward-differentiated; the jnp unpack is jvp-capable
     if impl == "pallas" and unpack_supported(plan, f, ch):
         return unpack_frames(z, plan, f, ch, out_bias, dt)
     return _unpack_jnp(z, plan, f, ch, out_bias, dt)

@@ -2,12 +2,17 @@
 
 Reference: methods/bit_assign.py:57-217. Omega evaluates the quantization
 perturbation v = w - w_hat against the loss Hessian accumulated over <= 10
-random batches: omega = sum_layers (sum_b H_b v) . v. The reference does this
-with double reverse-mode backprop (grad -> <grad, v> -> backward,
-bit_assign.py:94-114); on TPU we use forward-over-reverse
-``jax.jvp(jax.grad(loss), (w,), (v,))`` — one extra forward pass instead of a
-second full backward, and the whole 10-batch accumulation is a single jitted
-lax.scan with frames resident in HBM.
+random batches: omega = sum_layers (sum_b H_b v) . v. The HVP here is
+reverse-over-FORWARD — Hv = grad(w -> jvp(loss, w, v)) — the only
+composition that can pass through the fused Pallas tail: jax.custom_vjp is
+strictly first-order (neither jvp-over-grad nor grad-of-grad traces through
+it), but the 'pallas_hvp' execution (ops/tail_fused.py tail_apply_fo)
+carries a custom_jvp rule built from first-order Pallas conv primitives, so
+the jvp works and the outer grad only ever reverse-differentiates ONCE.
+The whole 10-batch accumulation is a single jitted lax.scan with frames
+resident in HBM; `remat=True` wraps the loss jvp in jax.checkpoint so the
+outer backward rematerializes instead of storing (PNeRV's batch-2 HVP
+exceeded HBM without it).
 
 fisher_diag: sum_layers (v^2 * g^2) with g the gradient accumulated over the
 same batches (bit_assign.py:122-169, 204-215).
@@ -45,7 +50,7 @@ def _with_kernels(params, spec: QuantSpec, kernels: Dict):
 def sensitivity_criterion(mode: str, arch: str, model, params,
                           spec: QuantSpec, state: Dict, frames, norm_idx,
                           batch_size: int, seed: int = 903,
-                          log_fn=logging.info):
+                          log_fn=logging.info, remat: bool = False):
     """Sensitivity score for the current (spec, state) bit allocation.
 
     Lower is better; bit_assign picks the argmin over candidates
@@ -77,10 +82,18 @@ def sensitivity_criterion(mode: str, arch: str, model, params,
     if mode == "omega":
         @jax.jit
         def accumulate(kernels, vec, batches, params, frames, norm_idx):
+            def dirderiv(k, idx):
+                # d/de loss(k + e*vec): forward-mode; the pallas_hvp tail's
+                # custom_jvp rule supplies the tangent through the kernels
+                _, dl = jax.jvp(
+                    lambda kk: loss_fn(kk, params, frames, norm_idx, idx),
+                    (k,), (vec,))
+                return dl
+
+            dd = jax.checkpoint(dirderiv) if remat else dirderiv
+
             def body(acc, idx):
-                _, hv = jax.jvp(
-                    lambda k: jax.grad(loss_fn)(k, params, frames, norm_idx, idx),
-                    (kernels,), (vec,))
+                hv = jax.grad(dd)(kernels, idx)
                 return jax.tree_util.tree_map(jnp.add, acc, hv), None
             zero = jax.tree_util.tree_map(jnp.zeros_like, kernels)
             acc, _ = jax.lax.scan(body, zero, batches)

@@ -412,3 +412,56 @@ class TestCoutSplit:
                                     (wh, bh), tm=128)
         assert tf.plan_feasible(plan, itemsize=2)
         assert tf._effective_impl("pallas", plan, jnp.float32) == "pallas"
+
+
+class TestHVPTail:
+    """HVP-capable execution (tail_apply_fo / conv_p): forward + first
+    gradients match the jnp twin, jax.jvp works through the Pallas kernels
+    (custom_jvp rule), and grad-of-jvp — the omega Hv — matches
+    jvp-over-grad on the pure-jnp oracle."""
+
+    def test_forward(self, tail_case):
+        x, ws = tail_case
+        ref = _oracle(x, *ws)
+        out = _fused(x, *ws, apply_fn=tf.tail_apply_fo)
+        np.testing.assert_allclose(out, ref, atol=2e-5)
+
+    def test_jvp_matches_oracle(self, tail_case):
+        """Forward-mode through the Pallas kernels (the custom_jvp rule)
+        must equal jax's own jvp of the jnp oracle, tangents on every
+        weight AND the input."""
+        x, ws = tail_case
+        v = tuple(jnp.asarray(RNG.randn(*a.shape) * 0.01, jnp.float32)
+                  for a in (x, *ws))
+        _, d_ref = jax.jvp(lambda *a: _oracle(*a), (x, *ws), v)
+        _, d_fo = jax.jvp(lambda *a: _fused(*a, apply_fn=tf.tail_apply_fo),
+                          (x, *ws), v)
+        scale = float(jnp.abs(d_ref).max()) + 1e-12
+        assert float(jnp.abs(d_ref - d_fo).max()) / scale < 1e-5
+
+    def test_hvp_grad_of_jvp(self, tail_case):
+        """grad(w -> jvp(L, w, v)) through the Pallas path == jvp(grad L)
+        on the pure-jnp oracle, w.r.t. the conv weights (omega's Hv)."""
+        x, ws = tail_case
+        tgt = jnp.asarray(RNG.randn(B, 4 * H, 4 * W, 3), jnp.float32)
+        v = tuple(jnp.asarray(RNG.randn(*w.shape) * 0.01, jnp.float32)
+                  for w in ws)
+
+        def loss_oracle(ws_):
+            return jnp.mean((_oracle(x, *ws_) - tgt) ** 2)
+
+        def loss_fo(ws_):
+            return jnp.mean(
+                (_fused(x, *ws_, apply_fn=tf.tail_apply_fo) - tgt) ** 2)
+
+        _, hv_ref = jax.jvp(jax.grad(loss_oracle), (ws,), (v,))
+
+        def dirderiv(ws_):
+            _, dl = jax.jvp(loss_fo, (ws_,), (v,))
+            return dl
+
+        hv_fo = jax.grad(dirderiv)(ws)
+        for a, b in zip(jax.tree_util.tree_leaves(hv_ref),
+                        jax.tree_util.tree_leaves(hv_fo)):
+            scale = float(jnp.abs(a).max()) + 1e-12
+            assert float(jnp.abs(a - b).max()) / scale < 2e-4, scale
