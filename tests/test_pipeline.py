@@ -184,3 +184,52 @@ class TestCompress:
         assert float(np.max(results[0])) > 5.0  # decodes to real frames
 
 
+
+
+class TestUnitScopeCLI:
+    """--scope block|layer: the BRECQ/AdaRound per-unit baselines are
+    runnable end-to-end from the stage-3 CLI (VERDICT r3 item 8)."""
+
+    @pytest.mark.parametrize("scope,extra", [
+        ("block", []),
+        ("layer", ["--opt_mode", "fisher_diag", "--input_prob", "0.5"]),
+    ])
+    def test_unit_scope_runs(self, workdir, frame_dir, trained_ckpt,
+                             scope, extra):
+        from neuroquant_tpu.methods import calibrate_network
+        ckpt, cfg_path = trained_ckpt
+        cwd = os.getcwd()
+        os.chdir(workdir)
+        try:
+            out_path, state, spec = calibrate_network.main([
+                "--config", cfg_path, "--arch", "hnerv",
+                "--data_path", frame_dir, "--vid", "tiny",
+                "--outf", f"t3{scope}", "--ckpt", ckpt,
+                "--precision", "4", "4", "4", "4", "4", "--channel_wise",
+                "--batch_size", "2", "--iters_w", "40",
+                "--b_start", "20", "--b_end", "2", "--warmup", "0.2",
+                "--lr", "0.003", "--scope", scope] + extra)
+        finally:
+            os.chdir(cwd)
+        out_path = str(workdir / out_path)
+        assert f"{scope}-wise_calib" in out_path
+        with open(out_path, "rb") as f:
+            artifact = pickle.load(f)
+        assert len(artifact["int_codes"]) == 5
+        # every unit got an AdaRound state (alpha present and finite)
+        for name in spec.layer_names:
+            assert "w_alpha" in state[name], name
+            assert np.isfinite(np.asarray(state[name]["w_alpha"])).all()
+        logs = glob.glob(os.path.join(os.path.dirname(out_path), "*.log"))
+        text = open(sorted(logs)[-1]).read()
+        assert "Reconstruction for" in text
+        assert "Weight quantization model w/ opt" in text
+
+    def test_network_scope_rejects_qdrop(self, workdir, frame_dir,
+                                         trained_ckpt):
+        from neuroquant_tpu.methods import calibrate_network
+        ckpt, cfg_path = trained_ckpt
+        with pytest.raises(SystemExit):
+            calibrate_network.parse_args([
+                "--config", cfg_path, "--arch", "hnerv",
+                "--ckpt", ckpt, "--input_prob", "0.5"])
