@@ -32,6 +32,8 @@ class HNeRVConfig:
     out_bias: str
     packed_tail: str = "auto"   # 'auto' | 'off' | explicit block index
     fused_tail: str = "auto"    # 'auto' | 'pallas' | 'jnp' | 'off'
+    fused_prefix: str = "auto"  # 'auto' | 'off': last pre-tail block via a
+    #                             1-layer CF Pallas plan (tail_fused)
 
     @classmethod
     def from_cfg(cls, cfg: dict) -> "HNeRVConfig":
@@ -51,6 +53,7 @@ class HNeRVConfig:
             out_bias=str(cfg["out_bias"]),
             packed_tail=str(cfg.get("packed_tail", "auto")),
             fused_tail=str(cfg.get("fused_tail", "auto")),
+            fused_prefix=str(cfg.get("fused_prefix", "auto")),
         )
 
     @property
@@ -121,6 +124,21 @@ class HNeRV(nn.Module):
             c.dec_strides, [c.dec_in_channel] + chans[:-1], chans,
             c.crop_h, c.crop_w)
 
+    def _prefix(self, img_embed, impl):
+        """Decode prefix (decoder0 + blocks[:pack_start]) -> the tail-entry
+        NHWC activation; the last prefix block runs fused on the Pallas
+        impls (layers.run_prefix_blocks)."""
+        from neuroquant_tpu.models.layers import run_prefix_blocks
+
+        c = self.cfg
+        x = self.decoder0(img_embed)
+        x = pixel_shuffle(x, (c.fc_h, c.fc_w))
+        return run_prefix_blocks(
+            self.blocks, self.pack_start, x, impl,
+            fused_prefix=c.fused_prefix, dec_norm=c.dec_norm,
+            crop_h=c.crop_h, crop_w=c.crop_w, dec_strides=c.dec_strides,
+            chans=c.decoder_channels(), dec_in_channel=c.dec_in_channel)
+
     def decode_cf(self, img_embed):
         """Decode to the packed channels-first head output with `out_bias`
         applied: (B, ch8, Mp). The calibration loss runs directly in this
@@ -133,10 +151,7 @@ class HNeRV(nn.Module):
         assert self.pack_start is not None and c.dec_acts == "gelu", \
             "decode_cf requires a packed GELU tail (use decode instead)"
         impl = self._fused_impl() or "jnp"
-        x = self.decoder0(img_embed)
-        x = pixel_shuffle(x, (c.fc_h, c.fc_w))
-        for j in range(self.pack_start):
-            x = self.blocks[j](x)
+        x = self._prefix(img_embed, impl)
         blocks, head = self._tail_params(x)
         z, _, _, _ = run_fused_tail_cf(x, blocks, head, impl=impl)
         return out_img(z, c.out_bias)
@@ -148,19 +163,18 @@ class HNeRV(nn.Module):
             # at the pack_start block's input resolution (ops/packed_decode.py);
             # on TPU the tail executes as channels-first Pallas kernels
             # (ops/tail_fused.py) instead of XLA convs
-            x = self.decoder0(img_embed)
-            x = pixel_shuffle(x, (c.fc_h, c.fc_w))
             impl = self._fused_impl()
             if impl is not None:
                 from neuroquant_tpu.ops.tail_fused import run_fused_tail_frames
 
-                for j in range(self.pack_start):
-                    x = self.blocks[j](x)
+                x = self._prefix(img_embed, impl)
                 blocks, head = self._tail_params(x)
                 # tail + out_img + depth-to-space in one pass (the unpack
                 # runs as a Pallas kernel, not an XLA relayout copy)
                 return run_fused_tail_frames(x, blocks, head, c.out_bias,
                                              impl=impl)
+            x = self.decoder0(img_embed)
+            x = pixel_shuffle(x, (c.fc_h, c.fc_w))
             f, perm = 1, None
             for j, blk in enumerate(self.blocks):
                 if j < self.pack_start:

@@ -318,6 +318,51 @@ class NeRVBlock(nn.Module):
         return self.act_fn(x)
 
 
+# minimum last-prefix-block grid (positions) for the fused execution: tiny
+# grids are cheaper as XLA convs (per-pallas_call overhead dominates).
+# Tests lower this to exercise the path on small fixtures.
+PREFIX_MIN_GRID = 1024
+
+
+def run_prefix_blocks(blocks, t: int, x, impl, *, fused_prefix: str,
+                      dec_norm: str, crop_h: int, crop_w: int,
+                      dec_strides, chans, dec_in_channel: int):
+    """Run the decode prefix blocks[:t] on NHWC x. On the Pallas impls the
+    LAST prefix block — the only one with real FLOPs (~95%,
+    scripts/prefix_probe.py) — executes through a 1-layer channels-first
+    plan (ops/tail_fused.run_fused_prefix_block): Pallas fwd/dx/dW kernels
+    + custom VJP replace its XLA conv, and the PixelShuffle becomes one
+    relabel of the conv's CF output. Gated on feasibility and a minimum
+    grid size (tiny grids are cheaper in XLA)."""
+    import numpy as _np
+
+    from neuroquant_tpu.ops.tail_fused import (
+        prefix_block_feasible, prefix_cf_to_nhwc, run_fused_prefix_block)
+
+    last = t - 1
+    use_fused = (str(fused_prefix) != "off" and last >= 0
+                 and impl in ("pallas", "pallas_hvp") and dec_norm == "none")
+    if use_fused:
+        blk = blocks[last]
+        s = int(_np.prod([int(v) for v in dec_strides[last:]]))
+        hc, wc = crop_h // s, crop_w // s       # last block's input grid
+        cin = chans[last - 1] if last > 0 else dec_in_channel
+        use_fused = (hc * wc >= PREFIX_MIN_GRID and blk.kernel_size % 2 == 1
+                     and prefix_block_feasible(
+                         hc, wc, blk.kernel_size, cin,
+                         chans[last] * blk.stride ** 2))
+    for j in range(t - (1 if use_fused else 0)):
+        x = blocks[j](x)
+    if use_fused:
+        blk = blocks[last]
+        kern, bias = blk.conv(x, return_params=True)
+        z, pplan = run_fused_prefix_block(x, kern, bias, blk.stride,
+                                          blk.out_channel, impl=impl)
+        x = blk.act_fn(prefix_cf_to_nhwc(z, pplan, blk.stride,
+                                         blk.out_channel))
+    return x
+
+
 def collect_tail_params(blocks, head_layer, pack_start: int, chans, x):
     """Gather the raw (kernel, bias) conv params of the decoder tail blocks
     (from pack_start) + head for the fused Pallas tail (ops/tail_fused.py).

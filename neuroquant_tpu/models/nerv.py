@@ -36,6 +36,7 @@ class NeRVConfig:
     n_frames: int = 0   # >0 enables exact PE argument reduction (layers.py)
     packed_tail: str = "auto"   # 'auto' | 'off' | explicit block index
     fused_tail: str = "auto"    # 'auto' | 'pallas' | 'jnp' | 'off'
+    fused_prefix: str = "auto"  # 'auto' | 'off' (models/hnerv.py _prefix)
 
     @classmethod
     def from_cfg(cls, cfg: dict) -> "NeRVConfig":
@@ -52,6 +53,7 @@ class NeRVConfig:
             n_frames=int(cfg.get("n_frames", 0)),
             packed_tail=str(cfg.get("packed_tail", "auto")),
             fused_tail=str(cfg.get("fused_tail", "auto")),
+            fused_prefix=str(cfg.get("fused_prefix", "auto")),
         )
 
     @property
@@ -134,28 +136,39 @@ class NeRV(nn.Module):
         assert self.pack_start is not None and c.dec_acts == "gelu", \
             "decode_cf requires a packed GELU tail (use decode instead)"
         impl = self._fused_impl() or "jnp"
-        x = self.decoder0(img_embed)
-        for j in range(self.pack_start):
-            x = self.blocks[j](x)
+        x = self._prefix(img_embed, impl)
         blocks, head = self._tail_params(x)
         z, _, _, _ = run_fused_tail_cf(x, blocks, head, impl=impl)
         return out_img(z, c.out_bias)
 
+    def _prefix(self, img_embed, impl):
+        """Decode prefix (decoder0's fc shuffle + blocks[:pack_start]); the
+        last prefix block runs fused on the Pallas impls
+        (layers.run_prefix_blocks)."""
+        from neuroquant_tpu.models.layers import run_prefix_blocks
+
+        c = self.cfg
+        x = self.decoder0(img_embed)
+        return run_prefix_blocks(
+            self.blocks, self.pack_start, x, impl,
+            fused_prefix=c.fused_prefix, dec_norm=c.dec_norm,
+            crop_h=c.crop_h, crop_w=c.crop_w, dec_strides=c.dec_strides,
+            chans=c.decoder_channels(), dec_in_channel=c.dec_in_channel)
+
     def decode(self, img_embed, return_embeds: bool = False):
         c = self.cfg
         if not return_embeds and self.pack_start is not None:
-            x = self.decoder0(img_embed)
             impl = self._fused_impl()
             if impl is not None:
                 from neuroquant_tpu.ops.tail_fused import run_fused_tail_frames
 
-                for j in range(self.pack_start):
-                    x = self.blocks[j](x)
+                x = self._prefix(img_embed, impl)
                 blocks, head = self._tail_params(x)
                 # tail + out_img + depth-to-space in one pass (the unpack
                 # runs as a Pallas kernel, not an XLA relayout copy)
                 return run_fused_tail_frames(x, blocks, head, c.out_bias,
                                              impl=impl)
+            x = self.decoder0(img_embed)
             f, perm = 1, None
             for j, blk in enumerate(self.blocks):
                 if j < self.pack_start:

@@ -1790,6 +1790,75 @@ def run_fused_tail_frames(x, blocks, head, out_bias: str,
     return _unpack_jnp(z, plan, f, ch, out_bias, dt)
 
 
+# --------------------------------------------------------------------------
+# Fused prefix block: the LAST pre-tail NeRVBlock (e.g. HNeRV Bunny's
+# blocks[2], 64 -> 848 k=5 at 40x80) as a 1-layer channels-first plan.
+# The decode prefix runs as XLA NHWC convs; measured ~0.36 ms/frame forward
+# of which this block is ~95% of the FLOPs (scripts/prefix_probe.py). Running
+# it through tail_apply gives it the Pallas fwd/dx/dW kernels + custom VJP,
+# and its conv output stays channels-first: one relabel (a depth-to-space
+# permutation) feeds the main tail's input layout directly.
+# --------------------------------------------------------------------------
+@lru_cache(maxsize=64)
+def _prefix_plan(h: int, w: int, k: int, cin: int, cout_rr: int):
+    geoms = ((k, (k - 1) // 2, cin, cout_rr, None),)
+    return _make_plan(h, w, geoms, _auto_tm(h, w))
+
+
+def prefix_block_feasible(h: int, w: int, k: int, cin: int, cout_rr: int,
+                          itemsize: int = 2) -> bool:
+    """One-pallas_call feasibility of the 1-layer prefix plan (no split:
+    a split prefix would not beat the XLA conv it replaces)."""
+    plan = _prefix_plan(h, w, k, cin, cout_rr)
+    try:
+        _exec_cfg(plan, plan.layers[0], itemsize, "fwd1")
+        return True
+    except ValueError:
+        return False
+
+
+def run_fused_prefix_block(x, kernel, bias, r: int, out_channel: int,
+                           impl: str = "pallas"):
+    """NHWC input x (B, h, w, cin) -> the block's conv output channels-first
+    (B, cout*r*r padded, Mp), pre-PixelShuffle, pre-activation, with the
+    channel relabel (subposition-major) already applied — i.e. exactly
+    plan_and_pack's f=1 entry-layer semantics for this conv. Returns
+    (z_cf, plan). impl='pallas_hvp' routes through the forward-mode-capable
+    tail_apply_fo (Omega HVPs jvp through the prefix too)."""
+    h, w = int(x.shape[1]), int(x.shape[2])
+    kh, kw, cin, cout_rr = kernel.shape
+    assert kh == kw and cout_rr == out_channel * r * r
+    wrel = (kernel.reshape(kh, kw, cin, out_channel, r, r)
+            .transpose(0, 1, 2, 4, 5, 3).reshape(kh, kw, cin, cout_rr))
+    brel = None
+    if bias is not None:
+        brel = bias.reshape(out_channel, r, r).transpose(1, 2, 0).reshape(-1)
+    plan = _prefix_plan(h, w, kh, cin, cout_rr)
+    layer = plan.layers[0]
+    kk = _pad_kk(wrel, layer.cin, layer.cout)
+    bm = (None if brel is None else
+          jnp.pad(brel, (0, layer.cout - cout_rr)).reshape(layer.cout, 1))
+    dt = x.dtype
+    x_cf, kks, bms, _ = _mxu_cast(nhwc_to_cf(x, plan), (kk,), (bm,), x.dtype)
+    z = _tail_fn(impl if impl in ("pallas", "pallas_hvp") else "pallas")(
+        plan, x_cf, kks, bms)
+    return z.astype(dt), plan
+
+
+def prefix_cf_to_nhwc(z, plan: TailPlan, r: int, out_channel: int):
+    """(B, cout*r*r pad, Mp) conv output of run_fused_prefix_block ->
+    NHWC (B, h*r, w*r, cout) PixelShuffled tensor (pre-activation): slice
+    interior, undo the subposition-major relabel, depth-to-space. One XLA
+    relayout replacing the conv's own output transpose + shuffle."""
+    b = z.shape[0]
+    hp, wp, h, w, p = plan.hp, plan.wp, plan.h, plan.w, plan.pad
+    z = z[:, :out_channel * r * r, :hp * wp].reshape(b, -1, hp, wp)
+    z = z[:, :, p:p + h, p:p + w]
+    z = z.reshape(b, r, r, out_channel, h, w)
+    z = jnp.transpose(z, (0, 4, 1, 5, 2, 3))        # (B, h, u, w, v, c)
+    return z.reshape(b, h * r, w * r, out_channel)
+
+
 def pack_targets(frames, plan: TailPlan, f: int):
     """Ground-truth frames (N, H, W, C) -> (N, ch8, Mp) channels-first packed
     layout matching the fused head output (identity groups, zero borders)."""

@@ -465,3 +465,89 @@ class TestHVPTail:
                         jax.tree_util.tree_leaves(hv_fo)):
             scale = float(jnp.abs(a).max()) + 1e-12
             assert float(jnp.abs(a - b).max()) / scale < 2e-4, scale
+
+
+class TestFusedPrefix:
+    """The last pre-tail block through the 1-layer CF plan
+    (layers.run_prefix_blocks / tail_fused.run_fused_prefix_block): decode
+    and decode_cf must match the XLA prefix exactly, for values, gradients,
+    and the HVP path's jvp."""
+
+    @pytest.fixture(autouse=True)
+    def _small_grid(self, monkeypatch):
+        # production gates the fused prefix to grids >= 1024 positions; the
+        # tiny fixture's last prefix block is far smaller
+        from neuroquant_tpu.models import layers
+        monkeypatch.setattr(layers, "PREFIX_MIN_GRID", 1)
+
+    def _models(self, tiny_cfg, arch):
+        base = dict(tiny_cfg)
+        base["fused_tail"] = "pallas"
+        on = build_model(arch, {**base, "fused_prefix": "auto"})
+        off = build_model(arch, {**base, "fused_prefix": "off"})
+        return on, off
+
+    @pytest.mark.parametrize("arch", ["hnerv", "nerv"])
+    def test_decode_parity(self, tiny_hnerv_cfg, tiny_nerv_cfg, arch):
+        cfg = tiny_hnerv_cfg if arch == "hnerv" else tiny_nerv_cfg
+        if arch == "nerv":
+            cfg = {**cfg, "n_frames": 8}
+        m_on, m_off = self._models(cfg, arch)
+        rng = jax.random.PRNGKey(0)
+        if arch == "hnerv":
+            x = jnp.asarray(RNG.randn(2, 80, 160, 3), jnp.float32)
+        else:
+            x = jnp.asarray([0.25, 0.75], jnp.float32)
+        params = m_off.init(rng, x)
+        emb = m_off.apply(params, x, method="encode")
+        d_off = m_off.apply(params, emb, method="decode")
+        d_on = m_on.apply(params, emb, method="decode")
+        np.testing.assert_allclose(d_on, d_off, atol=3e-5)
+        z_off = m_off.apply(params, emb, method="decode_cf")
+        z_on = m_on.apply(params, emb, method="decode_cf")
+        np.testing.assert_allclose(z_on, z_off, atol=3e-5)
+
+    def test_gradient_parity(self, tiny_hnerv_cfg):
+        m_on, m_off = self._models(tiny_hnerv_cfg, "hnerv")
+        rng = jax.random.PRNGKey(0)
+        x = jnp.asarray(RNG.randn(2, 80, 160, 3), jnp.float32)
+        params = m_off.init(rng, x)
+        emb = m_off.apply(params, x, method="encode")
+        tgt = m_off.apply(params, emb, method="decode_cf") * 0.9
+
+        def loss(m):
+            def f(p):
+                z = m.apply(p, emb, method="decode_cf")
+                return jnp.mean((z - tgt) ** 2)
+            return f
+
+        g_off = jax.grad(loss(m_off))(params)
+        g_on = jax.grad(loss(m_on))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g_off),
+                        jax.tree_util.tree_leaves(g_on)):
+            scale = float(jnp.abs(a).max()) + 1e-10
+            assert float(jnp.abs(a - b).max()) / scale < 2e-5
+
+    def test_hvp_impl_jvp_parity(self, tiny_hnerv_cfg):
+        """pallas_hvp routes the fused prefix through tail_apply_fo: jvp
+        through the whole decode must match the XLA prefix's jvp."""
+        base = dict(tiny_hnerv_cfg)
+        m_hvp = build_model("hnerv", {**base, "fused_tail": "pallas_hvp",
+                                      "fused_prefix": "auto"})
+        m_off = build_model("hnerv", {**base, "fused_tail": "off"})
+        rng = jax.random.PRNGKey(0)
+        x = jnp.asarray(RNG.randn(2, 80, 160, 3), jnp.float32)
+        params = m_off.init(rng, x)
+        emb = m_off.apply(params, x, method="encode")
+        v = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(RNG.randn(*a.shape) * 0.01, a.dtype),
+            params)
+
+        def f(m):
+            return lambda p: jnp.mean(
+                m.apply(p, emb, method="decode") ** 2)
+
+        p_ref, d_ref = jax.jvp(f(m_off), (params,), (v,))
+        p_fo, d_fo = jax.jvp(f(m_hvp), (params,), (v,))
+        assert abs(p_ref - p_fo) / (abs(p_ref) + 1e-12) < 1e-5
+        assert abs(d_ref - d_fo) / (abs(d_ref) + 1e-12) < 1e-4
