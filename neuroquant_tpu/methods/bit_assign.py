@@ -77,7 +77,54 @@ def parse_args(argv):
                         help="optional: semicolon-separated bit lists, e.g. "
                              "'6,5,4,5,5,6,6;2,3,4,6,4,4,2' (defaults to the "
                              "reference's toy candidates)")
+    parser.add_argument("--search", default="", type=str,
+                        choices=["", "lagrangian"],
+                        help="omega-guided allocation SEARCH instead of "
+                             "scoring a fixed candidate list: per-layer "
+                             "score curves from uniform-bit HVPs -> "
+                             "Lagrangian lambda-sweep proposals under "
+                             "--target_avg_bits -> exact omega re-scoring "
+                             "of the proposals (the criterion stays the "
+                             "reference's, the search only nominates)")
+    parser.add_argument("--target_avg_bits", default=5.0, type=float,
+                        help="parameter-weighted average-bit budget for "
+                             "--search")
+    parser.add_argument("--bit_range", default=[2, 8], type=int, nargs=2,
+                        help="inclusive per-layer bit range for --search")
     return parser.parse_args(argv)
+
+
+def lagrangian_candidates(curves, p_l, bit_choices, target_avg: float,
+                          n_keep: int = 4):
+    """Bit allocations minimizing sum_l s_l(b_l) + lambda * sum_l p_l b_l
+    over a lambda sweep, filtered to the average-bit budget.
+
+    curves: {b: [s_l for each layer]} per-layer omega scores at uniform-b
+    allocations (block-diagonal surrogate of the joint criterion); p_l:
+    per-layer parameter counts. Returns up to n_keep allocations on the
+    budget's efficient edge (highest average bits <= target), always
+    including the best-scoring single proposal."""
+    p = np.asarray(p_l, np.float64)
+    p_frac = p / p.sum()
+    n_layers = len(p_l)
+    seen = {}
+    for lam in np.logspace(-8, 4, 200):
+        bits = [min(bit_choices,
+                    key=lambda b: curves[b][l] + lam * p_frac[l] * b)
+                for l in range(n_layers)]
+        avg = float((p * np.asarray(bits)).sum() / p.sum())
+        if avg <= target_avg + 1e-9:
+            surrogate = float(sum(curves[b][l] for l, b in enumerate(bits)))
+            seen[tuple(bits)] = (avg, surrogate)
+    if not seen:
+        lo = min(bit_choices)
+        return [[lo] * n_layers]
+    ranked = sorted(seen.items(), key=lambda kv: -kv[1][0])  # avg desc
+    keep = [list(k) for k, _ in ranked[:n_keep]]
+    best_sur = min(seen.items(), key=lambda kv: kv[1][1])[0]
+    if list(best_sur) not in keep:
+        keep.append(list(best_sur))
+    return keep
 
 
 def assign(args, cfg):
@@ -116,7 +163,39 @@ def assign(args, cfg):
     s, _ = common.best_metrics_str(results)
     logging.info(print_str + s)
 
-    if args.candidates:
+    if args.search == "lagrangian":
+        # Phase A: per-layer omega curves from uniform-bit allocations —
+        # (Hv)_l . v_l under the joint uniform-b perturbation, the same
+        # quantity the reference logs per layer (bit_assign.py:195-203)
+        bit_choices = list(range(args.bit_range[0], args.bit_range[1] + 1))
+        n_layers = len(make_spec(args.arch, cfg).layer_names)
+        curves = {}
+        for b in bit_choices:
+            spec = make_spec(args.arch, cfg, channel_wise=args.channel_wise,
+                             scale_method=args.init,
+                             hadamard=args.hadamard).with_bits([b] * n_layers)
+            state = init_quant_state(params, spec)
+            _, per_layer = sensitivity_criterion(
+                args.mode, args.arch, model, params, spec, state,
+                dataset.frames, dataset.norm_idx, args.batch_size,
+                seed=args.seed, remat=args.remat,
+                log_fn=lambda s: None)
+            curves[b] = per_layer
+            logging.info(f"[search] uniform W{b}: per-layer "
+                         + " ".join(f"{v:.2e}" for v in per_layer))
+        from neuroquant_tpu.quantization.qmodel import _get
+        spec0 = make_spec(args.arch, cfg, channel_wise=args.channel_wise,
+                          scale_method=args.init, hadamard=args.hadamard)
+        p_l = [int(np.prod(_get(params, p)["kernel"].shape))
+               + int(np.prod(_get(params, p)["bias"].shape))
+               for p in spec0.layer_paths]
+        cands = lagrangian_candidates(curves, p_l, bit_choices,
+                                      args.target_avg_bits)
+        candidate_dict = {f"lagrangian{i + 1}": c
+                          for i, c in enumerate(cands)}
+        logging.info(f"[search] {len(cands)} proposals under avg "
+                     f"{args.target_avg_bits}: {cands}")
+    elif args.candidates:
         candidate_dict = {
             f"candidate{i + 1}": [int(b) for b in c.split(",")]
             for i, c in enumerate(args.candidates.split(";"))}

@@ -233,3 +233,40 @@ class TestUnitScopeCLI:
             calibrate_network.parse_args([
                 "--config", cfg_path, "--arch", "hnerv",
                 "--ckpt", ckpt, "--input_prob", "0.5"])
+
+
+class TestLagrangianSearch:
+    def test_candidate_generator(self):
+        """Pure-function properties: budget respected, monotone curves push
+        cheap layers to low bits, best-surrogate proposal included."""
+        from neuroquant_tpu.methods.bit_assign import lagrangian_candidates
+        # layer 0: insensitive (flat curve), layer 1: very sensitive
+        curves = {b: [1e-6 * (8 - b), 1e-1 * (8 - b) ** 2] for b in range(2, 9)}
+        p_l = [1000, 1000]
+        cands = lagrangian_candidates(curves, p_l, list(range(2, 9)), 5.0)
+        assert cands
+        for c in cands:
+            avg = sum(p * b for p, b in zip(p_l, c)) / sum(p_l)
+            assert avg <= 5.0 + 1e-9
+        # the sensitive layer should get >= bits of the insensitive one in
+        # the best proposal
+        best = cands[0]
+        assert best[1] >= best[0]
+
+    def test_search_cli(self, workdir, frame_dir, trained_ckpt):
+        from neuroquant_tpu.methods import bit_assign
+        ckpt, cfg_path = trained_ckpt
+        cwd = os.getcwd()
+        os.chdir(workdir)
+        try:
+            _, best_bits, score = bit_assign.main([
+                "--config", cfg_path, "--arch", "hnerv",
+                "--data_path", frame_dir, "--vid", "tiny", "--outf", "t2s",
+                "--ckpt", ckpt, "--batch_size", "2", "--channel_wise",
+                "--search", "lagrangian", "--target_avg_bits", "4.5",
+                "--bit_range", "3", "6", "--hvp_impl", "xla"])
+        finally:
+            os.chdir(cwd)
+        assert len(best_bits) == 5
+        assert all(3 <= b <= 6 for b in best_bits)
+        assert np.isfinite(score)
