@@ -313,13 +313,13 @@ def _exec_cfg(plan: TailPlan, layer: TailLayer, itemsize: int,
         else:
             v = 2 * cin8 * span * itemsize      # double-buffered input
         v += (k2cin * cout_o if mode == "qpatches"
-              else ucin * cout8 if mode == "upatches"
+              else ucin * cout8 if mode in ("upatches", "pupatches")
               else kdp * cout8 if mode == "dpatches"
               else taps * cin8 * cout8) * itemsize   # resident weights
         if kind == "dw":
             v += 2 * cout8 * tm * itemsize      # g tiles (double-buffered)
             v += (cout_o * k2cin if mode == "qpatches"
-                  else cout8 * ucin if mode == "upatches"
+                  else cout8 * ucin if mode in ("upatches", "pupatches")
                   else cout8 * layer.k_dim if mode in ("patches", "ppatches")
                   else cout8 * kdp if mode == "dpatches"
                   else taps * cout8 * cin8) * 4   # accumulated dW
@@ -340,6 +340,9 @@ def _exec_cfg(plan: TailPlan, layer: TailLayer, itemsize: int,
             v += (2 if kind == "dw" else 1) * k2cin * tm * itemsize
         elif mode == "upatches":
             v += ucin * tm * itemsize           # single union slot
+        elif mode == "pupatches":
+            cin_o_ = sp[1]
+            v += 2 * (((ucin // cin_o_ + 1) // 2) * cin_o_) * tm * itemsize
         return v
 
     def cost(mode, tm):
@@ -356,6 +359,12 @@ def _exec_cfg(plan: TailPlan, layer: TailLayer, itemsize: int,
             # dense K — the win for tiny-cout_o layers whose groups starve
             # the MXU (head) and for any packed layer with k > f
             c = (_r128(ucin) * cout8 * rows(cout8) + _ASM_PATCHES * ucin)
+        elif mode == "pupatches":
+            # split-K pipelined upatches: one extra 128-pad on K, half the
+            # assembly counted (overlapped with the other chunk's matmul)
+            uhK = ((ucin // sp[1] + 1) // 2) * sp[1]
+            c = ((_r128(uhK) + _r128(ucin - uhK)) * cout8 * rows(cout8)
+                 + _ASM_PATCHES * ucin // 2)
         elif mode == "patches":
             c = (_r128(taps * cin8) * cout8 * rows(cout8)
                  + _ASM_PATCHES * taps * cin8)
@@ -426,8 +435,11 @@ def _exec_cfg(plan: TailPlan, layer: TailLayer, itemsize: int,
         modes = modes + ("qpatches",)
     if sp is not None:
         # upatches has no row-count restriction: one full-cout matmul on
-        # the union K (the tiny-row case is exactly where it wins most)
+        # the union K (the tiny-row case is exactly where it wins most);
+        # pupatches is its 2-chunk split-K software pipeline
         modes = modes + ("upatches",)
+        if len(_union_blocks(sp)) >= 2:
+            modes = modes + ("pupatches",)
     best = None
     for mode in modes:
         tm = plan.tm
@@ -626,7 +638,7 @@ def _kk_to_op(kk, layer: TailLayer, mode: str, itemsize: int = 2):
         blocks = [kk[py, px, gin * cin_o:(gin + 1) * cin_o, :cout_o]
                   for (py, px, gin) in qtaps[0]]
         return jnp.transpose(jnp.concatenate(blocks, axis=0), (1, 0))
-    if mode == "upatches":
+    if mode in ("upatches", "pupatches"):
         # union-sparse patches operand (cout, n_u*cin_o): keep ONLY the
         # (tap, input-group) cin_o-row blocks some output group reads
         # (_union_blocks) but ALL output rows — the canonical packed kernel
@@ -665,7 +677,7 @@ def _op_to_kk_grad(dw, layer: TailLayer, mode: str):
             dkk = dkk.at[py, px, gin * cin_o:(gin + 1) * cin_o,
                          :cout_o].set(jnp.transpose(blk, (1, 0)))
         return dkk
-    if mode == "upatches":
+    if mode in ("upatches", "pupatches"):
         # dw is the union-layout gradient (cout, n_u cin_o); scatter each
         # union block back to its canonical position. Rows of blocks a group
         # does not read land at structurally-zero canonical positions the
@@ -813,6 +825,36 @@ def _accumulate(xt, w_ref, patches, *, shifts, guard, tm, mode,
                 xt[gin * cin_o:(gin + 1) * cin_o, guard + s: guard + s + tm])
         return jnp.dot(w_ref[...], patches[0],
                        preferred_element_type=jnp.float32)
+    if mode == "pupatches":
+        # pipelined upatches: the union block set split in two half-K
+        # chunks, two slots, chunk h+1's VPU assembly overlapped with chunk
+        # h's matmul (the ppatches software pipeline applied to the union
+        # K axis — hides most of the ~90-100 us/layer assembly cost the
+        # xpatches diagnostics isolated). One extra 128-pad on K.
+        cin_o = layer.sparse[1]
+        n_u = len(shifts)
+        uh = (n_u + 1) // 2
+        chunks = [tuple(range(uh)), tuple(range(uh, n_u))]
+
+        def asm(h, slot):
+            for j, u in enumerate(chunks[h]):
+                s, gin = shifts[u]
+                patches[slot, j * cin_o:(j + 1) * cin_o, :] = (
+                    xt[gin * cin_o:(gin + 1) * cin_o,
+                       guard + s: guard + s + tm])
+
+        asm(0, 0)
+        acc = None
+        for h, ch in enumerate(chunks):
+            if not ch:
+                continue
+            if h + 1 < len(chunks) and chunks[h + 1]:
+                asm(h + 1, (h + 1) % 2)
+            w = w_ref[:, ch[0] * cin_o: (ch[-1] + 1) * cin_o]
+            d = jnp.dot(w, patches[h % 2, :len(ch) * cin_o, :],
+                        preferred_element_type=jnp.float32)
+            acc = d if acc is None else acc + d
+        return acc
     if mode in ("patches", "ppatches"):
         # ppatches: the tap set split in two half-K chunks, two slots,
         # chunk h+1 assembled while chunk h multiplies (same overlap as
@@ -972,6 +1014,31 @@ def _dw_kernel(x_hbm, g_ref, dw_ref, db_ref, *scr,
                 xt[gin * cin_o:(gin + 1) * cin_o, guard + s: guard + s + tm])
         dw_ref[...] += jax.lax.dot_general(
             g, patches[0], contract, preferred_element_type=jnp.float32)
+    elif mode == "pupatches":
+        # pipelined union dW: two half-union chunks, two slots, next chunk
+        # assembled while this one multiplies into its dw column slice
+        cin_o = layer.sparse[1]
+        n_u = len(shifts)
+        uh = (n_u + 1) // 2
+        chunks = [tuple(range(uh)), tuple(range(uh, n_u))]
+
+        def asm(h, slot):
+            for j, u in enumerate(chunks[h]):
+                s, gin = shifts[u]
+                patches[slot, j * cin_o:(j + 1) * cin_o, :] = (
+                    xt[gin * cin_o:(gin + 1) * cin_o,
+                       guard + s: guard + s + tm])
+
+        asm(0, 0)
+        for h, ch in enumerate(chunks):
+            if not ch:
+                continue
+            if h + 1 < len(chunks) and chunks[h + 1]:
+                asm(h + 1, (h + 1) % 2)
+            dw_ref[:, ch[0] * cin_o: (ch[-1] + 1) * cin_o] += \
+                jax.lax.dot_general(
+                    g, patches[h % 2, :len(ch) * cin_o, :], contract,
+                    preferred_element_type=jnp.float32)
     elif mode in ("patches", "ppatches"):
         chunks = ([tuple(range(layer.taps))]
                   if mode == "patches" or layer.taps < 2 else
@@ -1020,6 +1087,10 @@ def _scratch(plan, layer, cfg, dtype, dw=False):
         cin_o = layer.sparse[1]
         pat = pltpu.VMEM((1, len(_union_blocks(layer.sparse)) * cin_o,
                           cfg.tm), dtype)
+    elif cfg.mode == "pupatches":
+        cin_o = layer.sparse[1]
+        n_u = len(_union_blocks(layer.sparse))
+        pat = pltpu.VMEM((2, ((n_u + 1) // 2) * cin_o, cfg.tm), dtype)
     elif cfg.mode == "ppatches":
         pat = pltpu.VMEM((2, ((layer.taps + 1) // 2) * layer.cin, cfg.tm),
                          dtype)
@@ -1088,7 +1159,7 @@ def _conv_cf_one(x, kk, bias, out_mul, plan: TailPlan, layer: TailLayer,
     kern = partial(_fwd_kernel,
                    shifts=(plan.qshifts(layer) if cfg.mode == "qpatches"
                            else plan.ushifts(layer)
-                           if cfg.mode == "upatches"
+                           if cfg.mode in ("upatches", "pupatches")
                            else plan.shifts(layer)),
                    guard=plan.guard(layer), span=cfg.span(plan, layer),
                    tm=cfg.tm, n_tiles=nt, mode=cfg.mode, layer=layer,
@@ -1189,7 +1260,7 @@ def _conv_cf_dw_one(x, g, plan: TailPlan, layer: TailLayer,
         dw_shape = (cout_o, k_o * k_o * cin_o)
         dw_spec = pl.BlockSpec(dw_shape, lambda l: (0, 0),
                                memory_space=pltpu.VMEM)
-    elif cfg.mode == "upatches":
+    elif cfg.mode in ("upatches", "pupatches"):
         cin_o = layer.sparse[1]
         dw_shape = (layer.cout, len(_union_blocks(layer.sparse)) * cin_o)
         dw_spec = pl.BlockSpec(dw_shape, lambda l: (0, 0),
@@ -1210,7 +1281,7 @@ def _conv_cf_dw_one(x, g, plan: TailPlan, layer: TailLayer,
     kern = partial(_dw_kernel,
                    shifts=(plan.qshifts(layer) if cfg.mode == "qpatches"
                            else plan.ushifts(layer)
-                           if cfg.mode == "upatches"
+                           if cfg.mode in ("upatches", "pupatches")
                            else plan.shifts(layer)),
                    guard=plan.guard(layer), span=cfg.span(plan, layer),
                    tm=cfg.tm, n_tiles=nt, mode=cfg.mode, layer=layer,

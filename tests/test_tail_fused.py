@@ -98,6 +98,28 @@ class TestOpsEquivalence:
             scale = float(jnp.abs(a).max()) + 1e-12
             assert float(jnp.abs(a - b).max()) / scale < 1e-5
 
+    def test_gradients_pupatches(self, tail_case):
+        """Pipelined union-sparse mode: fwd + dx + dw must match the dense
+        oracle (same union layout as upatches, split-K two-slot pipeline)."""
+        import os
+        x, ws = tail_case
+        cot = jnp.asarray(RNG.randn(B, 4 * H, 4 * W, 3), jnp.float32)
+        g_o = jax.grad(lambda a: jnp.sum(_oracle(*a) * cot))((x, *ws))
+        tf._exec_cfg.cache_clear()
+        os.environ["NQ_TAIL_MODE"] = "16x48=pupatches@128,48x16=pupatches@128"
+        try:
+            out = _fused(x, *ws, apply_fn=tf.tail_apply)
+            g_f = jax.grad(lambda a: jnp.sum(
+                _fused(*a, apply_fn=tf.tail_apply) * cot))((x, *ws))
+        finally:
+            del os.environ["NQ_TAIL_MODE"]
+            tf._exec_cfg.cache_clear()
+        np.testing.assert_allclose(out, _oracle(x, *ws), atol=2e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(g_o),
+                        jax.tree_util.tree_leaves(g_f)):
+            scale = float(jnp.abs(a).max()) + 1e-12
+            assert float(jnp.abs(a - b).max()) / scale < 1e-5
+
     def test_gradients_upatches(self, tail_case):
         """Union-sparse mode on the mid layer: fwd + dx + dw (incl. the
         union canonical-dkk scatter) must match the dense oracle's gradients
