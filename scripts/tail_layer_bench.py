@@ -152,10 +152,12 @@ def main():
               f"cout={layer.cout} sparse={'y' if sp else 'n'} "
               f"dense {dense_gf:.1f} GF real {real_gf:.1f} GF "
               f"floor {real_gf * 1e9 * args.batch / peak_tf * 1e6:.0f} us")
-        modes = ["patches", "xpatches", "taps", "xtaps", "kn2row"]
+        modes = ["patches", "ppatches", "xpatches", "taps", "xtaps",
+                 "kn2row"]
         if sp is not None:
             modes.append("qpatches")
             modes.append("upatches")
+            modes.append("pupatches")
         xin = xs[li]
         for mode in modes:
             if only is not None and mode not in only:
@@ -192,8 +194,9 @@ def main():
                                 * .01, dtype)
             om = xs[li] if layer.gelu_in else None
             ktr = tf._kk_transpose(kks_c[li])
-            for mode in (["patches", "dpatches", "taps", "kn2row"]
-                         + (["qpatches", "upatches"]
+            for mode in (["patches", "ppatches", "dpatches", "taps",
+                          "kn2row"]
+                         + (["qpatches", "upatches", "pupatches"]
                             if lt.sparse else [])):
                 if only is not None and mode not in only:
                     continue
@@ -211,8 +214,8 @@ def main():
                     except Exception as e:
                         print(f"  dx  {mode:9s}@{tm}: FAIL {str(e)[:60]}")
             # dW pass
-            for mode in (["patches", "dpatches", "taps"]
-                         + (["qpatches", "upatches"]
+            for mode in (["patches", "ppatches", "dpatches", "taps"]
+                         + (["qpatches", "upatches", "pupatches"]
                             if layer.sparse else [])):
                 if only is not None and mode not in only:
                     continue
