@@ -435,11 +435,12 @@ def _exec_cfg(plan: TailPlan, layer: TailLayer, itemsize: int,
         modes = modes + ("qpatches",)
     if sp is not None:
         # upatches has no row-count restriction: one full-cout matmul on
-        # the union K (the tiny-row case is exactly where it wins most);
-        # pupatches is its 2-chunk split-K software pipeline
+        # the union K (the tiny-row case is exactly where it wins most).
+        # Its 2-chunk split-K pipeline 'pupatches' is NOT offered to the
+        # model yet — reachable via NQ_TAIL_MODE and _SWEEP_PINS only, like
+        # dpatches, until the hardware sweep validates where it wins
+        # (an unvalidated default could fail Mosaic mid-calibration)
         modes = modes + ("upatches",)
-        if len(_union_blocks(sp)) >= 2:
-            modes = modes + ("pupatches",)
     best = None
     for mode in modes:
         tm = plan.tm
