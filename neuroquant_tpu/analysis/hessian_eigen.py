@@ -48,8 +48,13 @@ def make_hvp(model, params, spec_paths, frames, norm_idx, arch, batch_idx):
 
     @jax.jit
     def hvp(vs):
-        _, hv = jax.jvp(jax.grad(loss_fn), (kernels,), (vs,))
-        return hv
+        # reverse-over-forward (grad of the directional derivative): the
+        # only composition that passes through the fused tail's custom_jvp
+        # 'pallas_hvp' execution (sensitivity.py); identical for XLA paths
+        def dirderiv(ks):
+            _, dl = jax.jvp(loss_fn, (ks,), (vs,))
+            return dl
+        return jax.grad(dirderiv)(kernels)
 
     def unflatten(flat):
         out, off = {}, 0
@@ -113,10 +118,9 @@ def main(argv):
 
     cfg = get_config(args.config)
     dataset = VideoDataSet(cfg, args.data_path)
-    # jax.jvp(jax.grad(...)) cannot trace through the fused Pallas tail's
-    # jax.custom_vjp (reverse-mode only) — force the XLA packed execution,
-    # identical math and jvp-capable (same fix as methods/bit_assign.py)
-    cfg["fused_tail"] = "off"
+    # the HVP runs reverse-over-forward through the fused kernels'
+    # custom_jvp execution (make_hvp; same composition as bit_assign)
+    cfg["fused_tail"] = "pallas_hvp"
     model = build_model(args.arch, cfg)
     params = model.init(jax.random.PRNGKey(0), example_input(args.arch, cfg, 1))
     params = load_pth(args.ckpt, args.arch, params)
