@@ -73,14 +73,14 @@ def main():
     # iteration-dependent input nudge so scan bodies are not hoisted
     def fwd(upto):
         def body(p, emb, i):
-            emb = emb + i.astype(emb.dtype) * 1e-30
+            emb = emb * (1.0 + i.astype(emb.dtype) * 1e-6)
             out = model.apply(p, method=lambda m: prefix_upto(m, emb, upto))
             return out.astype(jnp.float32).mean()
         return body
 
     def fwdbwd(upto):
         def body(p, emb, i):
-            emb = emb + i.astype(emb.dtype) * 1e-30
+            emb = emb * (1.0 + i.astype(emb.dtype) * 1e-6)
 
             def loss(pp):
                 out = model.apply(
