@@ -1874,7 +1874,14 @@ def run_fused_tail_frames(x, blocks, head, out_bias: str,
 @lru_cache(maxsize=64)
 def _prefix_plan(h: int, w: int, k: int, cin: int, cout_rr: int):
     geoms = ((k, (k - 1) // 2, cin, cout_rr, None),)
-    return _make_plan(h, w, geoms, _auto_tm(h, w))
+    # _auto_tm gives 128-lane tiles at the prefix grids (e.g. 40x80 = 3200
+    # positions -> 29 tiles of 128): per-tile overheads then dominate the
+    # BACKWARD kernels (measured: the tm=128 prefix dx/dW cost more than
+    # the XLA convs they replaced — r4 calib_breakdown). 512-lane tiles cut
+    # the tile count to ~8 while every mode's working set still fits the
+    # VMEM budget at these channel counts.
+    tm = 512 if h * w >= 2048 else _auto_tm(h, w)
+    return _make_plan(h, w, geoms, tm)
 
 
 def prefix_block_feasible(h: int, w: int, k: int, cin: int, cout_rr: int,
