@@ -44,6 +44,18 @@ def geometry(arch):
         h, w, c0 = 160, 320, 24
         blocks = [(3, 24, 216, 3), (3, 24, 96, 2)]
         head = (3, 24, 3)
+    elif arch == "hnerv_prefix":
+        # the fused prefix block's 1-layer plan (blocks[2]: 64 -> 848 k=5
+        # at 40x80, models/layers.run_prefix_blocks); fwd/dx/dW pins for
+        # the prefix geometry land in _SWEEP_PINS keyed on its plan
+        h, w, c0 = 40, 80, 64
+        blocks = []
+        head = (5, 64, 848)
+    elif arch == "nerv_prefix":
+        # NeRV blocks[2]: 36 -> 24*16 k=3 at 40x80
+        h, w, c0 = 40, 80, 36
+        blocks = []
+        head = (3, 36, 384)
     else:
         h, w, c0 = 160, 320, 24
         blocks = [(3, 24, 96, 2), (3, 24, 96, 2)]
