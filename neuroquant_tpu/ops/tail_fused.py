@@ -273,13 +273,20 @@ _SWEEP_PINS = {
     (48, 592, 3, True, "fwd"): ("upatches", 2048),   # head dx
     # HNeRV UVG f=6 tail (same 160x320/2048 plan geometry; sweep with the
     # production GELU' epilogue, tail_layer_bench --arch hnerv_uvg --bwd):
-    # L1 dx — the model's qpatches picks FAIL Mosaic scoped vmem at every
-    # tile (18.3M vs the 16M limit; the calib-breaking kernel) while
-    # taps@512 compiles and runs at 3907us
-    (1336, 400, 3, True, "fwd"): ("taps", 512),
-    # L2 dW — one-call infeasible per the model (would split/fall back),
-    # but measured: taps@512 compiles one-call at 1837us
-    (1336, 112, 3, True, "dw"): ("taps", 512),
+    # r4 400-iter UVG sweep (fwd + bwd with production epilogues):
+    # L0 fwd patches@512 491us (model pick @1024: 546); L0 dx/dw = model
+    # picks already best (taps@2048 610, patches@1024 361)
+    (56, 400, 5, False, "fwd"): ("patches", 512),
+    # L1 dx upatches@256 2841us — replaces the round-3 taps@512 pin
+    # (3904us; the qpatches model picks still FAIL Mosaic scoped vmem)
+    (1336, 400, 3, True, "fwd"): ("upatches", 256),
+    # head fwd pupatches@1024 1234us (upatches@512 1392) — the pipelined
+    # union assembly's first production win; head dx upatches@1024 889
+    # (model qpatches@512: 1041); head dW pupatches@512 1460us — replaces
+    # the round-3 taps@512 pin (1980us)
+    (1336, 112, 3, True, "fwd"): ("pupatches", 1024),
+    (112, 1336, 3, True, "fwd"): ("upatches", 1024),
+    (1336, 112, 3, True, "dw"): ("pupatches", 512),
 }
 
 

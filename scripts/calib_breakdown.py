@@ -13,6 +13,8 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import argparse
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -35,10 +37,17 @@ NFRAMES = 16
 
 
 def main():
-    cfg = get_config("configs/HNeRV/Bunny_1280x640_3M.yaml")
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="configs/HNeRV/Bunny_1280x640_3M.yaml")
+    ap.add_argument("--frames", type=int, default=NFRAMES)
+    args = ap.parse_args()
+    global NFRAMES
+    NFRAMES = args.frames
+    cfg = get_config(args.config)
     model = build_model("hnerv", cfg)
-    frames = jnp.asarray(np.random.RandomState(0).rand(NFRAMES, 640, 1280, 3),
-                         jnp.float32)
+    frames = jnp.asarray(
+        np.random.RandomState(0).rand(NFRAMES, cfg["crop_h"], cfg["crop_w"],
+                                      3).astype(np.float32))
     params = model.init(jax.random.PRNGKey(903), frames[:1])
     cali = jax.jit(lambda p, x: model.apply(p, x, method="encode"))(
         params, frames)
@@ -78,9 +87,10 @@ def main():
     from neuroquant_tpu.models import tail_plan_for
     from neuroquant_tpu.ops.tail_fused import border_mask, pack_targets
     plan, fpk, ch = tail_plan_for("hnerv", cfg)
+    print(f"plan f={fpk} grid {plan.h}x{plan.w}")
     gt_cf = pack_targets(frames, plan, fpk)
     mask_cf = border_mask(plan, ch=ch)
-    denom = 640 * 1280
+    denom = cfg["crop_h"] * cfg["crop_w"]
 
     def full_loss(st, p, f, c, idx):
         q = quantize_params(p, spec, st, mode="adaround")
