@@ -280,11 +280,12 @@ _SWEEP_PINS = {
     # L1 dx upatches@256 2841us — replaces the round-3 taps@512 pin
     # (3904us; the qpatches model picks still FAIL Mosaic scoped vmem)
     (1336, 400, 3, True, "fwd"): ("upatches", 256),
-    # head fwd pupatches@1024 1234us (upatches@512 1392) — the pipelined
-    # union assembly's first production win; head dx upatches@1024 889
-    # (model qpatches@512: 1041); head dW pupatches@512 1460us — replaces
-    # the round-3 taps@512 pin (1980us)
-    (1336, 112, 3, True, "fwd"): ("pupatches", 1024),
+    # head fwd: the sweep's pupatches@1024 (1234us vs upatches@512 1392)
+    # OOMs Mosaic scoped vmem by 260K under the PRODUCTION bias+mask
+    # epilogue (uvg_perf r4 crash) — the kn2row@4096 trap again; no pin,
+    # the model's upatches@512 stands. head dx upatches@1024 889us (model
+    # qpatches@512: 1041); head dW pupatches@512 1460us — replaces the
+    # round-3 taps@512 pin (1980us)
     (112, 1336, 3, True, "fwd"): ("upatches", 1024),
     (1336, 112, 3, True, "dw"): ("pupatches", 512),
 }
