@@ -288,6 +288,18 @@ _SWEEP_PINS = {
     # round-3 taps@512 pin (1980us)
     (112, 1336, 3, True, "fwd"): ("upatches", 1024),
     (1336, 112, 3, True, "dw"): ("pupatches", 512),
+    # NeRV UVG f=2 tail (plan 160x320 pad=1; r4 400-iter sweep): L0 fwd
+    # patches@4096 133us (model ppatches@2048: 156), L0 dx kn2row@2048
+    # 111us (taps@2048: 161), L0 dW patches@2048 59us; L1 fwd qpatches@512
+    # 657us (model @1024: 684), L1 dx pupatches@1024 753us (model
+    # qpatches@1024: 808); head dx upatches@1024 548us (model
+    # qpatches@1024: 678). Head fwd/dW + L1 dW: model picks already best.
+    (24, 216, 3, False, "fwd"): ("patches", 4096),
+    (216, 24, 3, False, "fwd"): ("kn2row", 2048),
+    (24, 216, 3, False, "dw"): ("patches", 2048),
+    (216, 864, 3, True, "fwd"): ("qpatches", 512),
+    (864, 216, 3, True, "fwd"): ("pupatches", 1024),
+    (112, 864, 3, True, "fwd"): ("upatches", 1024),
 }
 
 
