@@ -50,9 +50,13 @@ def main():
                 return acc + out.astype(jnp.float32).mean(), None
             acc, _ = jax.lax.scan(step, 0.0, jnp.arange(REPS))
             return acc
-        jax.block_until_ready(run(params, cali))
+        # float() fetch, not block_until_ready: the latter does not
+        # synchronize through the tunneled backend for these programs
+        # (decode_stages.py notes) — the first version of this probe read
+        # dispatch-only times (~0.01 ms for a 16 ms decode)
+        float(run(params, cali))
         t0 = time.time()
-        jax.block_until_ready(run(params, cali))
+        float(run(params, cali))
         dt = (time.time() - t0) / REPS * 1000
         print(f"{name:44s} {dt:8.3f} ms/frame-batch")
         return dt

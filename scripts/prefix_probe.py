@@ -63,10 +63,17 @@ def main():
                 return acc + body(params, cali[idx], i), None
             acc, _ = jax.lax.scan(step, 0.0, jnp.arange(REPS))
             return acc
-        jax.block_until_ready(run(params, cali))
+        # float() fetch, not block_until_ready: the latter does not
+        # synchronize through the tunneled backend for these programs
+        # (decode_stages.py notes) — the first version of this probe read
+        # dispatch-only times. The window carries one tunnel round trip;
+        # subtract the measured null RTT (methods/common._null_rtt).
+        from neuroquant_tpu.methods.common import _null_rtt
+        rtt = _null_rtt()
+        float(run(params, cali))
         t0 = time.time()
-        jax.block_until_ready(run(params, cali))
-        dt = (time.time() - t0) / REPS * 1000
+        float(run(params, cali))
+        dt = (time.time() - t0 - rtt) / REPS * 1000
         print(f"{name:40s} {dt:7.3f} ms/iter")
         return dt
 
