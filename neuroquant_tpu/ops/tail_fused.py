@@ -259,16 +259,19 @@ _SWEEP_PINS = {
     (96, 24, 3, False, "fwd"): ("taps", 2048),       # L0 dx
     (96, 384, 3, True, "fwd"): ("upatches", 4096),   # 256us vs qpatches 290
     (96, 384, 3, True, "dw"): ("qpatches", 2048),    # 172us vs upatches 202
-    (384, 96, 3, True, "fwd"): ("upatches", 2048),   # L1 dx: 266 vs taps 332
-    (384, 48, 3, True, "fwd"): ("upatches", 2048),   # head fwd: 196 vs 239
-    (384, 48, 3, True, "dw"): ("upatches", 2048),    # 193us vs taps 293
-    (48, 384, 3, True, "fwd"): ("upatches", 2048),   # head dx: 244 vs 293
+    # r4 pupatches sweep: NeRV L1 dx 203us (upatches 266), head fwd 146us
+    # (upatches 196), head dx 200us (244), head dW 132us (193)
+    (384, 96, 3, True, "fwd"): ("pupatches", 2048),  # L1 dx
+    (384, 48, 3, True, "fwd"): ("pupatches", 1024),  # head fwd
+    (384, 48, 3, True, "dw"): ("pupatches", 2048),   # head dW
+    (48, 384, 3, True, "fwd"): ("pupatches", 2048),  # head dx
     # union-sparse (upatches) winners above and below are from the 400-iter
     # production-epilogue sweep 2026-08-19. HNeRV head's three kernels
     # (fwd 331 vs 455 taps; dx 359 vs 416 qpatches; dw 347 vs 488 taps);
     # HNeRV L1 stays qpatches/taps (fwd 747 vs 735; dx 990 vs 836 — the
     # fat-cout geometry already fills the MXU).
-    (592, 48, 3, True, "fwd"): ("upatches", 2048),   # head fwd
+    # r4 pupatches sweep: HNeRV head fwd 306us (upatches 331); dx/dW wash
+    (592, 48, 3, True, "fwd"): ("pupatches", 2048),  # head fwd
     (592, 48, 3, True, "dw"): ("upatches", 2048),    # head dW
     (48, 592, 3, True, "fwd"): ("upatches", 2048),   # head dx
     # HNeRV UVG f=6 tail (same 160x320/2048 plan geometry; sweep with the
