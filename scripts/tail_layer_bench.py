@@ -217,6 +217,10 @@ def main():
                         f"{lt.cin}x{lt.cout}={mode}@{tm}"
                     tf._exec_cfg.cache_clear()
                     try:
+                        if plan.mp % tf._exec_cfg(
+                                plan, lt, jnp.dtype(dtype).itemsize,
+                                "fwd1").tm:
+                            continue   # partial grid = invalid timing
                         def bwdx(i, g, kk, om):
                             return tf._conv_cf(
                                 g * (1.0 + 1e-6 * i).astype(dtype), kk,
@@ -236,6 +240,10 @@ def main():
                         f"{layer.cin}x{layer.cout}={mode}@{tm}"
                     tf._exec_cfg.cache_clear()
                     try:
+                        if plan.mp % tf._exec_cfg(
+                                plan, layer, jnp.dtype(dtype).itemsize,
+                                "dw").tm:
+                            continue   # partial grid = invalid timing
                         gt2 = jnp.zeros((args.batch, layer.cout, plan.mp),
                                         dtype) + 0.01
                         def bwdw(i, x, g):
