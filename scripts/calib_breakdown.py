@@ -37,11 +37,11 @@ NFRAMES = 16
 
 
 def main():
+    global NFRAMES
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="configs/HNeRV/Bunny_1280x640_3M.yaml")
     ap.add_argument("--frames", type=int, default=NFRAMES)
     args = ap.parse_args()
-    global NFRAMES
     NFRAMES = args.frames
     cfg = get_config(args.config)
     model = build_model("hnerv", cfg)
