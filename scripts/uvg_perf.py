@@ -34,9 +34,12 @@ from neuroquant_tpu.quantization.calibrate import model_reconstruction
 
 def calib_rate(arch, cfg, model, params, frames, cali, nbits):
     """Short network-wise calibration (identical per-step compute to the
-    21k run); returns the phase-2 iters/s the run itself reports (wall
-    time over a completed, device-synced phase — NOT per-epoch host
-    timings, which run ahead of the device under the dispatch-ahead loop)."""
+    21k run); returns the MEDIAN steady per-epoch phase-2 rate, measured
+    exactly like bench.py — an epoch_hook that blocks on the epoch's
+    output state. Whole-phase walls at ~250 steps are dominated by
+    tracing/cache loads (the round-3 'noise band', and the r4 warm run
+    even measured slower than the cold one); per-epoch rates past the
+    first epoch are the real number."""
     spec = make_spec(arch, cfg, channel_wise=True, scale_method="max",
                      hadamard=True).with_bits(nbits)
     state = init_quant_state(params, spec)
@@ -51,18 +54,26 @@ def calib_rate(arch, cfg, model, params, frames, cali, nbits):
     n = frames.shape[0]
     batch = 2
     spe = n // batch
-    lines = []
+    last = {"t": None, "count": 0}
+    rates = []
+
+    def epoch_hook(e, count, st=None):
+        if st is not None:
+            jax.block_until_ready(jax.tree_util.tree_leaves(st)[0])
+        now = time.time()
+        if last["t"] is not None and e > 0:      # first epoch = compile
+            rates.append((count - last["count"]) / max(now - last["t"], 1e-9))
+        last["t"], last["count"] = now, count
+
     model_reconstruction(
         model, params, spec, state, cali, frames, list(range(n)), arch=arch,
         batch_size=batch, iters=64 * spe, weight=0.01, b_range=(20, 2),
-        warmup=0.1, p=2.0, lr=0.003, seed=903, log_fn=lines.append,
-        cf_pack=cf_pack)
-    import re
-    for ln in lines:
-        m = re.search(r"phase 2.*\(([0-9.]+) iters/s\)", str(ln))
-        if m:
-            return float(m.group(1))
-    return float("nan")
+        warmup=0.1, p=2.0, lr=0.003, seed=903, log_fn=lambda *_: None,
+        cf_pack=cf_pack, epoch_hook=epoch_hook)
+    if not rates:
+        return float("nan")
+    rates.sort()
+    return rates[len(rates) // 2]
 
 
 def main():
@@ -95,15 +106,9 @@ def main():
             emb = enc(params, jnp.linspace(0.05, 0.95, args.frames,
                                            dtype=jnp.float32))
         fps = measure_decode_fps(model, params, emb, 1)
-        # two back-to-back calibrations: the first's phase-2 wall folds in
-        # the epoch-program compile/cache-load over only ~240 steps (the
-        # round-3 8-32 it/s "noise band" was mostly this); the second runs
-        # the cached programs — that is the steady rate
-        rate_cold = calib_rate(arch, cfg, model, params, frames, emb, nbits)
         rate = calib_rate(arch, cfg, model, params, frames, emb, nbits)
         print(f"[uvg 960x1920] {arch}: decode {fps:.1f} FPS/chip, "
-              f"calib steady {rate:.1f} it/s (batch 2; first run incl "
-              f"compile: {rate_cold:.1f})")
+              f"calib steady {rate:.1f} it/s (batch 2, median epoch)")
 
 
 if __name__ == "__main__":
