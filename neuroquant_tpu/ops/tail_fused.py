@@ -1800,7 +1800,8 @@ def _unpack_kernel(z_ref, out_ref, *, f, g, rb, w, out_bias):
     copy over the full-resolution frame (the round-2 profile's single
     hottest op). The (..., w, g) output collapses to NHWC (H, W, C) by a
     pure row-major reshape (no lane-merging shape cast, which Mosaic cannot
-    lower)."""
+    lower). `w` here is the per-call width tile (may be a divisor of the
+    full grid width — see _unpack_wt)."""
     zt = z_ref[0]                                       # (Cp, rb, w) f32
     t = zt[:f * g].reshape(f, g, rb, w)
     t = _out_img(t, out_bias)
@@ -1809,11 +1810,29 @@ def _unpack_kernel(z_ref, out_ref, *, f, g, rb, w, out_bias):
     out_ref[0] = t.reshape(rb * f, w, g).astype(out_ref.dtype)
 
 
-def unpack_supported(plan: TailPlan, f: int, ch: int) -> bool:
-    """The kernel's (rb*f, w, g) VMEM output block pads g to 128 lanes; bail
-    to the XLA path when that padded block cannot fit comfortably."""
+_UNPACK_BUDGET = 6 * 1024 * 1024
+
+
+def _unpack_wt(plan: TailPlan, f: int) -> int | None:
+    """Largest divisor wt of plan.w whose (rb*f, wt, g->128) output block
+    fits the budget (large f, e.g. UVG's 6, exceeds it at full width — the
+    round-3 gate then fell back to the XLA relayout for the whole frame);
+    None when even wt=1... practically when no useful tile exists."""
     w = plan.w
-    return 8 * f * w * 128 * 4 <= 6 * 1024 * 1024
+    for div in range(1, w + 1):
+        if w % div:
+            continue
+        wt = w // div
+        if 8 * f * wt * 128 * 4 <= _UNPACK_BUDGET:
+            return wt if wt >= 32 else None
+    return None
+
+
+def unpack_supported(plan: TailPlan, f: int, ch: int) -> bool:
+    """True when some width tile keeps the kernel's padded VMEM block in
+    budget (width-tiled since r4 — UVG f=6 now runs the kernel instead of
+    the XLA relayout)."""
+    return _unpack_wt(plan, f) is not None
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
@@ -1834,15 +1853,21 @@ def unpack_frames(z, plan: TailPlan, f: int, ch: int, out_bias: str, dt):
     if h8 != h:
         zi = jnp.pad(zi, ((0, 0), (0, 0), (0, h8 - h), (0, 0)))
     nb = h8 // rb
+    wt = _unpack_wt(plan, f)
+    nw = w // wt
     out = pl.pallas_call(
-        partial(_unpack_kernel, f=f, g=g, rb=rb, w=w, out_bias=out_bias),
-        grid=(b * nb,),
-        in_specs=[pl.BlockSpec((1, cp, rb, w),
-                               lambda l, nb=nb: (l // nb, 0, l % nb, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, rb * f, w, g),
-                               lambda l, nb=nb: (l // nb, l % nb, 0, 0),
-                               memory_space=pltpu.VMEM),
+        partial(_unpack_kernel, f=f, g=g, rb=rb, w=wt, out_bias=out_bias),
+        grid=(b * nb * nw,),
+        in_specs=[pl.BlockSpec(
+            (1, cp, rb, wt),
+            lambda l, nb=nb, nw=nw: (l // (nb * nw), 0, (l // nw) % nb,
+                                     l % nw),
+            memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(
+            (1, rb * f, wt, g),
+            lambda l, nb=nb, nw=nw: (l // (nb * nw), (l // nw) % nb, l % nw,
+                                     0),
+            memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h8 * f, w, g), dt),
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
