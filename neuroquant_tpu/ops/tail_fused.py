@@ -1793,6 +1793,19 @@ def _unpack_jnp(z, plan: TailPlan, f: int, ch: int, out_bias: str, dt):
     return depth_to_space(_out_img(y, out_bias), f)
 
 
+def _unpack_kernel5(z_ref, out_ref, *, f, g, rb, w, out_bias):
+    """Width-tiled variant: input carries the w-tile as its own axis
+    (block (1, 1, cp, rb, wt)) because Mosaic requires a block's last dim
+    to be 128-divisible or equal to the array dim — a wt=160 lane slice of
+    a w=320 axis is neither, but wt == wt after the reshape/transpose."""
+    zt = z_ref[0, 0]                                    # (Cp, rb, wt)
+    t = zt[:f * g].reshape(f, g, rb, w)
+    t = _out_img(t, out_bias)
+    t = jnp.transpose(t, (2, 0, 1, 3))
+    t = jnp.transpose(t, (0, 1, 3, 2))
+    out_ref[0] = t.reshape(rb * f, w, g).astype(out_ref.dtype)
+
+
 def _unpack_kernel(z_ref, out_ref, *, f, g, rb, w, out_bias):
     """rb packed interior rows of the head output -> rb*f full-res output
     rows in (x, b, c) minor order. The channels-first -> NHWC depth-to-space
@@ -1855,24 +1868,45 @@ def unpack_frames(z, plan: TailPlan, f: int, ch: int, out_bias: str, dt):
     nb = h8 // rb
     wt = _unpack_wt(plan, f)
     nw = w // wt
-    out = pl.pallas_call(
-        partial(_unpack_kernel, f=f, g=g, rb=rb, w=wt, out_bias=out_bias),
-        grid=(b * nb * nw,),
-        in_specs=[pl.BlockSpec(
-            (1, cp, rb, wt),
-            lambda l, nb=nb, nw=nw: (l // (nb * nw), 0, (l // nw) % nb,
-                                     l % nw),
-            memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(
-            (1, rb * f, wt, g),
-            lambda l, nb=nb, nw=nw: (l // (nb * nw), (l // nw) % nb, l % nw,
-                                     0),
-            memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h8 * f, w, g), dt),
-        interpret=_interpret(),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
-    )(zi)
+    if nw == 1:
+        out = pl.pallas_call(
+            partial(_unpack_kernel, f=f, g=g, rb=rb, w=w, out_bias=out_bias),
+            grid=(b * nb,),
+            in_specs=[pl.BlockSpec((1, cp, rb, w),
+                                   lambda l, nb=nb: (l // nb, 0, l % nb, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, rb * f, w, g),
+                                   lambda l, nb=nb: (l // nb, l % nb, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, h8 * f, w, g), dt),
+            interpret=_interpret(),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+        )(zi)
+    else:
+        # w-tile as its own axis (see _unpack_kernel5): one cheap XLA
+        # relayout of the (small) packed head output, then every block
+        # satisfies Mosaic's last-dim rule
+        zi5 = zi.reshape(b, cp, h8, nw, wt).transpose(0, 3, 1, 2, 4)
+        out = pl.pallas_call(
+            partial(_unpack_kernel5, f=f, g=g, rb=rb, w=wt,
+                    out_bias=out_bias),
+            grid=(b * nb * nw,),
+            in_specs=[pl.BlockSpec(
+                (1, 1, cp, rb, wt),
+                lambda l, nb=nb, nw=nw: (l // (nb * nw), l % nw, 0,
+                                         (l // nw) % nb, 0),
+                memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(
+                (1, rb * f, wt, g),
+                lambda l, nb=nb, nw=nw: (l // (nb * nw), (l // nw) % nb,
+                                         l % nw, 0),
+                memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, h8 * f, w, g), dt),
+            interpret=_interpret(),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+        )(zi5)
     if h8 != h:
         out = out[:, :h * f]
     return out.reshape(b, h * f, w * f, c)
