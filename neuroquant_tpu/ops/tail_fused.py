@@ -1842,10 +1842,13 @@ def _unpack_wt(plan: TailPlan, f: int) -> int | None:
 
 
 def unpack_supported(plan: TailPlan, f: int, ch: int) -> bool:
-    """True when some width tile keeps the kernel's padded VMEM block in
-    budget (width-tiled since r4 — UVG f=6 now runs the kernel instead of
-    the XLA relayout)."""
-    return _unpack_wt(plan, f) is not None
+    """True when the kernel's padded VMEM output block fits the budget at
+    FULL width. The r4 width-tiled variant (_unpack_kernel5) is exact and
+    compiles, but MEASURED SLOWER than the XLA relayout it replaces at
+    both UVG geometries (HNeRV 235 vs 269 FPS, NeRV 203 vs 287 — the
+    extra w-tile relayout + small blocks cost more than XLA's
+    depth-to-space), so tiling-requiring plans keep the XLA path."""
+    return _unpack_wt(plan, f) == plan.w
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
