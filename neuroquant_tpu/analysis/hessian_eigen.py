@@ -105,6 +105,13 @@ def main(argv):
                         help="also compute the per-layer v_i' H v_j matrix "
                              "(draw_hessian.ipynb heatmap)")
     parser.add_argument("--out", default="plots/hessian", type=str)
+    parser.add_argument("--hvp_impl", default="auto", type=str,
+                        choices=["auto", "pallas", "xla"],
+                        help="HVP execution: fused Pallas kernels via the "
+                             "reverse-over-forward custom_jvp composition, "
+                             "or the XLA packed path; 'auto' = pallas on a "
+                             "real TPU, xla elsewhere (Pallas interpret "
+                             "mode is orders of magnitude slower on CPU)")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -120,7 +127,10 @@ def main(argv):
     dataset = VideoDataSet(cfg, args.data_path)
     # the HVP runs reverse-over-forward through the fused kernels'
     # custom_jvp execution (make_hvp; same composition as bit_assign)
-    cfg["fused_tail"] = "pallas_hvp"
+    use_pallas = (args.hvp_impl == "pallas"
+                  or (args.hvp_impl == "auto"
+                      and jax.default_backend() == "tpu"))
+    cfg["fused_tail"] = "pallas_hvp" if use_pallas else "off"
     model = build_model(args.arch, cfg)
     params = model.init(jax.random.PRNGKey(0), example_input(args.arch, cfg, 1))
     params = load_pth(args.ckpt, args.arch, params)

@@ -67,6 +67,14 @@ def parse_args(argv):
                              "(block/layer) reconstruction — network-wise "
                              "calibration rejects values != 1.0")
     parser.add_argument("--lr", default=0.0015, type=float)
+    parser.add_argument("--rounding", default="adaround", type=str,
+                        choices=["adaround", "nearest"],
+                        help="'adaround' = two-phase scale + learned-rounding "
+                             "calibration (the reference's only mode); "
+                             "'nearest' = phase-1 scale optimization only, "
+                             "saving round-to-nearest UAQ codes — a savable "
+                             "capability the reference lacks (network scope "
+                             "only)")
     parser.add_argument("--norm_p", default=2.0, type=float)
     parser.add_argument("--init", default="max", type=str,
                         choices=["max", "mse", "gaussian", "l1", "l2"])
@@ -133,6 +141,9 @@ def parse_args(argv):
     elif args.mesh_devices > 1:
         parser.error("--mesh_devices applies to network-wise calibration "
                      "only (unit reconstruction minibatches cached tensors)")
+    if args.rounding == "nearest" and args.scope != "network":
+        parser.error("--rounding nearest is a network-scope mode (unit "
+                     "reconstruction is AdaRound by construction)")
     return args
 
 
@@ -252,7 +263,7 @@ def calibrate(args, cfg):
             checkpoint_path=(os.path.join(args.outf, "calib_resume.pkl")
                              if args.calib_ckpt_freq else None),
             ckpt_every_epochs=max(args.calib_ckpt_freq, 1), mesh=mesh,
-            cf_pack=cf_pack)
+            cf_pack=cf_pack, rounding=args.rounding)
     else:
         # BRECQ/AdaRound per-unit baselines (calib_block.py:91-183,
         # calib_layer.py:89-179): reconstruct each quantizable conv against
@@ -289,8 +300,38 @@ def calibrate(args, cfg):
 
     # save the quantized artifact: fp32 state dict + spec + state + int codes
     codes = collect_int_codes(params, spec, state, mode=mode)
+
+    # finiteness guard (mirrors the dryrun's check): a NaN alpha silently
+    # flips hard rounding to floor (NaN >= 0 is False) — refuse to ship a
+    # poisoned artifact rather than saving garbage that still "evaluates"
+    bad = []
+    for ln, s in state.items():
+        for k, v in s.items():
+            n_bad = int(np.size(v)) - int(np.isfinite(np.asarray(v)).sum())
+            if n_bad:
+                bad.append(f"{ln}/{k}: {n_bad} non-finite")
+    if bad:
+        raise SystemExit("refusing to save artifact — non-finite quant "
+                         "state:\n  " + "\n  ".join(bad))
+
+    # roundtrip guard: weights rebuilt from codes + scales alone must match
+    # the fake-quantized decode weights (the bitstream path eval_quantized
+    # --from_bitstream takes); catches any code/state divergence at save time
+    from neuroquant_tpu.methods.eval_quantized import params_from_codes
+    from neuroquant_tpu.quantization.qmodel import _get
+    rt = params_from_codes(params, spec, codes)
+    for name, path in zip(spec.layer_names, spec.layer_paths):
+        for leaf in ("kernel", "bias"):
+            a = np.asarray(_get(qparams, path)[leaf])
+            b = np.asarray(_get(rt, path)[leaf])
+            err = float(np.abs(a - b).max())
+            if err > 1e-5:
+                raise SystemExit(
+                    f"artifact roundtrip mismatch at {name}/{leaf}: "
+                    f"max|fakequant - dequant(codes)| = {err}")
     artifact = {
         "arch": args.arch,
+        "mode": mode,   # 'adaround' or 'uaq' (nearest rounding)
         "cfg": cfg,
         "state_dict": params_to_state_dict(args.arch, params),
         "quant_spec": {

@@ -70,7 +70,13 @@ def main(argv):
     if args.num_frames is not None:
         n_frames = args.num_frames
     elif args.data_path:
-        n_frames = len(os.listdir(args.data_path))
+        # count only frame files — a stray README/.DS_Store would silently
+        # inflate the bpp denominator (VERDICT r4 item 6)
+        exts = (".png", ".jpg", ".jpeg", ".bmp")
+        n_frames = sum(1 for f in os.listdir(args.data_path)
+                       if f.lower().endswith(exts))
+        if n_frames == 0:
+            raise SystemExit(f"no frame files in {args.data_path}")
     else:
         raise SystemExit("need --data_path or --num_frames for bpp")
 

@@ -334,32 +334,35 @@ def run_prefix_blocks(blocks, t: int, x, impl, *, fused_prefix: str,
     + custom VJP replace its XLA conv, and the PixelShuffle becomes one
     relabel of the conv's CF output. Gated on feasibility and a minimum
     grid size (tiny grids are cheaper in XLA)."""
-    import numpy as _np
-
     from neuroquant_tpu.ops.tail_fused import (
         prefix_block_feasible, prefix_cf_to_nhwc, run_fused_prefix_block)
 
     last = t - 1
-    use_fused = (str(fused_prefix) != "off" and last >= 0
-                 and impl in ("pallas", "pallas_hvp") and dec_norm == "none")
-    if use_fused:
-        blk = blocks[last]
-        s = int(_np.prod([int(v) for v in dec_strides[last:]]))
-        hc, wc = crop_h // s, crop_w // s       # last block's input grid
-        cin = chans[last - 1] if last > 0 else dec_in_channel
-        use_fused = (hc * wc >= PREFIX_MIN_GRID and blk.kernel_size % 2 == 1
-                     and prefix_block_feasible(
-                         hc, wc, blk.kernel_size, cin,
-                         chans[last] * blk.stride ** 2))
-    for j in range(t - (1 if use_fused else 0)):
+    maybe_fused = (str(fused_prefix) != "off" and last >= 0
+                   and impl in ("pallas", "pallas_hvp")
+                   and dec_norm == "none"
+                   and blocks[last].kernel_size % 2 == 1)
+    for j in range(last if maybe_fused else t):
         x = blocks[j](x)
-    if use_fused:
+    if maybe_fused:
+        # gate feasibility on the ACTUAL prefix activation shape — deriving
+        # the grid from crop_h // prod(strides) diverges from x.shape when
+        # the crop is not an exact stride multiple, and the plan built by
+        # run_fused_prefix_block (from x.shape) could then be infeasible,
+        # turning the intended XLA fallback into a trace-time error
+        # (round-4 ADVICE item 2)
         blk = blocks[last]
-        kern, bias = blk.conv(x, return_params=True)
-        z, pplan = run_fused_prefix_block(x, kern, bias, blk.stride,
-                                          blk.out_channel, impl=impl)
-        x = blk.act_fn(prefix_cf_to_nhwc(z, pplan, blk.stride,
-                                         blk.out_channel))
+        hc, wc, cin = x.shape[1], x.shape[2], x.shape[-1]
+        if (hc * wc >= PREFIX_MIN_GRID and prefix_block_feasible(
+                hc, wc, blk.kernel_size, cin,
+                chans[last] * blk.stride ** 2)):
+            kern, bias = blk.conv(x, return_params=True)
+            z, pplan = run_fused_prefix_block(x, kern, bias, blk.stride,
+                                              blk.out_channel, impl=impl)
+            x = blk.act_fn(prefix_cf_to_nhwc(z, pplan, blk.stride,
+                                             blk.out_channel))
+        else:
+            x = blk(x)
     return x
 
 

@@ -1870,6 +1870,14 @@ def unpack_frames(z, plan: TailPlan, f: int, ch: int, out_bias: str, dt):
         zi = jnp.pad(zi, ((0, 0), (0, 0), (0, h8 - h), (0, 0)))
     nb = h8 // rb
     wt = _unpack_wt(plan, f)
+    if wt is None:
+        # no width tile >= 32 fits the VMEM budget — public entry point
+        # guard (production callers gate on unpack_supported, which also
+        # rejects wt < plan.w as measured-slower; round-4 ADVICE item 1)
+        raise ValueError(
+            f"unpack_frames: no feasible width tile for plan w={plan.w}, "
+            f"f={f} (VMEM budget); gate on unpack_supported(plan, f, ch) "
+            "and use the XLA depth-to-space instead")
     nw = w // wt
     if nw == 1:
         out = pl.pallas_call(

@@ -51,6 +51,14 @@ class LinearTempDecay:
         self.end_b = end_b
 
     def __call__(self, t):
+        # rel_start_decay >= 1.0 makes the denominator 0: at t == t_max the
+        # ratio is 0/0 = NaN, the round loss activates exactly at that step
+        # (count >= iters), and the NaN gradient poisons Adam's moments even
+        # at lr=0 (-0.0 * NaN = NaN) — verified to silently destroy every
+        # alpha in a warmup=1.0 run (round-4 VERDICT bug). Decay never
+        # starts in that regime, so the temperature is the constant start_b.
+        if self.start_decay >= self.t_max:
+            return jnp.full_like(jnp.asarray(t, jnp.float32), float(self.start_b))
         rel_t = (t - self.start_decay) / (self.t_max - self.start_decay)
         ramp = self.end_b + (self.start_b - self.end_b) * jnp.maximum(0.0, 1 - rel_t)
         return jnp.where(t < self.start_decay, float(self.start_b), ramp)
@@ -199,9 +207,18 @@ def model_reconstruction(model, params, spec: QuantSpec, state: Dict,
                          log_fn=logging.info, compute_dtype=None,
                          checkpoint_path: str | None = None,
                          ckpt_every_epochs: int = 25, mesh=None,
-                         epoch_hook=None, cf_pack="auto"):
-    """Returns (calibrated QuantState, mode='adaround'). After return, decode
-    quantized with quantize_params(..., mode='adaround', soft=False).
+                         epoch_hook=None, cf_pack="auto",
+                         rounding: str = "adaround"):
+    """Returns (calibrated QuantState, mode). After return, decode quantized
+    with quantize_params(..., mode=mode, soft=False).
+
+    rounding="adaround" (default) runs both phases and returns
+    mode='adaround'. rounding="nearest" runs ONLY phase 1 (scale
+    optimization) and returns mode='uaq' — round-to-nearest with calibrated
+    scales. This is a capability the reference lacks (it always runs
+    AdaRound, calib_model.py:169-228); round-4 measurements showed PNeRV is
+    better off WITHOUT phase 2 (35.27 nearest vs 35.05 AdaRound), and the
+    lr=0 workaround used to emulate it triggered the warmup=1.0 NaN bug.
 
     compute_dtype=jnp.bfloat16 runs the decode in bf16 (quant math and the
     loss stay fp32) — measured quality- and speed-neutral vs fp32 on v5e
@@ -214,6 +231,10 @@ def model_reconstruction(model, params, spec: QuantSpec, state: Dict,
     prebuilt {"gt", "mask", "denom"} dict (methods/calibrate_network.py).
     """
     assert opt_mode == "mse", "network-wise calibration uses the mse objective"
+    assert rounding in ("adaround", "nearest"), rounding
+    if rounding == "nearest":
+        # phase 1 only — no phase-2 progress to checkpoint/resume
+        checkpoint_path = None
     if isinstance(cf_pack, str) and cf_pack == "auto":
         cf_pack = None
         try:
@@ -303,6 +324,11 @@ def model_reconstruction(model, params, spec: QuantSpec, state: Dict,
             compute_dtype=compute_dtype, mesh=mesh, cf_pack=cf_pack)
         log_fn(f"[calib] phase 1 (delta): {epochs1} epochs x {steps_per_epoch} "
                f"steps in {time.time() - t0:.1f}s")
+
+    if rounding == "nearest":
+        log_fn("[calib] rounding=nearest: phase 2 skipped; state stays UAQ "
+               "(round-to-nearest with the phase-1-calibrated scales)")
+        return state, "uaq"
 
     # ---- Phase 2: AdaRound alphas (calib_model.py:169-228) ----
     opt_state0 = None

@@ -244,3 +244,106 @@ class TestCalibResume:
                 a, b = np.asarray(s_full[ln][k]), np.asarray(s_res[ln][k])
                 assert np.all(np.isfinite(b))
                 np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+class TestTempDecayAndNearestRounding:
+    def test_temp_decay_warmup1_is_finite(self):
+        """rel_start_decay=1.0 used to divide 0/0 at t == t_max -> NaN temp
+        at the exact step the round loss activates (round-4 VERDICT bug)."""
+        import numpy as np
+        from neuroquant_tpu.quantization.calibrate import LinearTempDecay
+
+        t = LinearTempDecay(132, rel_start_decay=1.0, start_b=20, end_b=2)
+        for step in (0, 131, 132):
+            v = float(t(step))
+            assert np.isfinite(v), step
+            assert v == 20.0
+        # the normal schedule is unchanged
+        t2 = LinearTempDecay(100, rel_start_decay=0.2, start_b=20, end_b=2)
+        assert float(t2(0)) == 20.0
+        assert abs(float(t2(100)) - 2.0) < 1e-6
+        assert 2.0 < float(t2(60)) < 20.0
+
+    def test_warmup1_lr0_leaves_alphas_bit_identical(self, tiny_hnerv_cfg,
+                                                     frame_dir):
+        """The regression the NaN poisoned: warmup=1.0 + lr=0.0 must leave
+        every alpha finite and bit-identical to its AdaRound init (Adam with
+        finite gradients and lr=0 applies exact -0.0 updates)."""
+        import jax
+        import numpy as np
+        from neuroquant_tpu.data import VideoDataSet
+        from neuroquant_tpu.models import build_model
+        from neuroquant_tpu.quantization import (
+            init_quant_state, make_spec, model_reconstruction,
+        )
+        from neuroquant_tpu.quantization.qmodel import adaround_upgrade
+
+        ds = VideoDataSet(tiny_hnerv_cfg, frame_dir)
+        model = build_model("hnerv", tiny_hnerv_cfg)
+        params = model.init(jax.random.PRNGKey(0), ds.frames[:1])
+        emb = model.apply(params, ds.frames, method="encode")
+        spec = make_spec("hnerv", tiny_hnerv_cfg, channel_wise=True,
+                        scale_method="max").with_bits([4] * 5)
+        state0 = init_quant_state(params, spec)
+
+        # iters=12, batch 4, 8 frames -> 2 steps/epoch, phase-1 epochs =
+        # int(0.05*12/2) = 0, so alphas init straight from state0
+        s, mode = model_reconstruction(
+            model, params, spec, state0, emb, ds.frames, list(range(8)),
+            arch="hnerv", batch_size=4, iters=12, warmup=1.0, lr=0.0,
+            seed=903, log_fn=lambda m: None)
+        assert mode == "adaround"
+        expect = adaround_upgrade(params, spec, state0)
+        for ln in spec.layer_names:
+            for k in ("w_alpha", "b_alpha"):
+                got = np.asarray(s[ln][k])
+                assert np.all(np.isfinite(got)), (ln, k)
+                np.testing.assert_array_equal(got, np.asarray(expect[ln][k]))
+
+    def test_nearest_rounding_mode(self, tiny_hnerv_cfg, frame_dir):
+        """rounding='nearest' runs phase 1 only and returns a UAQ state
+        (no alphas) whose int codes round-trip through quantize_params."""
+        import jax
+        import numpy as np
+        from neuroquant_tpu.data import VideoDataSet
+        from neuroquant_tpu.models import build_model
+        from neuroquant_tpu.quantization import (
+            collect_int_codes, init_quant_state, make_spec,
+            model_reconstruction, quantize_params,
+        )
+
+        ds = VideoDataSet(tiny_hnerv_cfg, frame_dir)
+        model = build_model("hnerv", tiny_hnerv_cfg)
+        params = model.init(jax.random.PRNGKey(0), ds.frames[:1])
+        emb = model.apply(params, ds.frames, method="encode")
+        spec = make_spec("hnerv", tiny_hnerv_cfg, channel_wise=True,
+                        scale_method="max").with_bits([4] * 5)
+        state0 = init_quant_state(params, spec)
+        # the phase-1 jit donates the state buffers — snapshot before
+        state0_np = jax.tree_util.tree_map(np.asarray, state0)
+
+        logs = []
+        s, mode = model_reconstruction(
+            model, params, spec, state0, emb, ds.frames, list(range(8)),
+            arch="hnerv", batch_size=4, iters=40, warmup=0.2, lr=0.003,
+            seed=903, log_fn=logs.append, rounding="nearest")
+        assert mode == "uaq"
+        assert any("nearest" in str(m) for m in logs)
+        for ln in spec.layer_names:
+            assert "w_alpha" not in s[ln]
+            for k, v in s[ln].items():
+                assert np.all(np.isfinite(np.asarray(v))), (ln, k)
+        # phase 1 DID run: deltas moved off their init values
+        moved = any(
+            not np.array_equal(np.asarray(s[ln]["w_delta"]),
+                               state0_np[ln]["w_delta"])
+            for ln in spec.layer_names)
+        assert moved
+        # the saved state decodes (mode='uaq', hard) and codes are in range
+        qp = quantize_params(params, spec, s, mode="uaq", soft=False)
+        out = model.apply(qp, emb[:2], method="decode")
+        assert np.all(np.isfinite(np.asarray(out)))
+        codes = collect_int_codes(params, spec, s, mode="uaq")
+        for ln in spec.layer_names:
+            w = np.asarray(codes[ln]["w"])
+            assert w.min() >= 0 and w.max() <= 15
