@@ -102,6 +102,15 @@ def parse_args(argv):
                         choices=["float32", "bfloat16"],
                         help="decode precision during calibration (quant "
                              "math and loss stay fp32)")
+    parser.add_argument("--unit_cache", default="stream", type=str,
+                        choices=["stream", "shared"],
+                        help="block/layer-scope FP activation caching: "
+                             "'stream' harvests each unit's IO on demand in "
+                             "bf16 and frees it after that unit (runs at any "
+                             "resolution; the analogue of the reference's "
+                             "CPU cache, data_utils.py:58-88); 'shared' "
+                             "caches every unit fp32 up front (fastest at "
+                             "small crops, OOMs HBM at 640x1280)")
     parser.add_argument("--calib_ckpt_freq", default=25, type=int,
                         help="phase-2 crash-recovery checkpoint every N "
                              "epochs (0 disables; resumed automatically)")
@@ -275,9 +284,15 @@ def calibrate(args, cfg):
         if args.arch.lower() not in ("hnerv", "nerv"):
             raise SystemExit(f"--scope {args.scope}: unit reconstruction "
                              "covers the NeRV/HNeRV decoder layout only")
-        t0 = time.time()
-        io = harvest_unit_io(model, params, args.arch, spec, cali_data)
-        logging.info("Cached init time: {}".format(time.time() - t0))
+        io, cache_dtype = None, None
+        if args.unit_cache == "shared":
+            t0 = time.time()
+            io = harvest_unit_io(model, params, args.arch, spec, cali_data)
+            logging.info("Cached init time: {}".format(time.time() - t0))
+        else:
+            # streaming harvest: each unit caches only its own IO, in bf16,
+            # freed when its reconstruction finishes — HD-feasible
+            cache_dtype = jnp.bfloat16
         for u in range(len(spec.layer_names)):
             logging.info(f"Reconstruction for {args.scope} {u} "
                          f"({spec.layer_names[u]})")
@@ -288,7 +303,7 @@ def calibrate(args, cfg):
                 weight=args.weight, b_range=(args.b_start, args.b_end),
                 warmup=args.warmup, p=args.norm_p, lr=args.lr,
                 seed=args.seed, opt_mode=args.opt_mode,
-                input_prob=args.input_prob, io=io)
+                input_prob=args.input_prob, io=io, cache_dtype=cache_dtype)
         mode = "adaround"
     logging.info(f"Training complete in: {str(datetime.now() - start)}")
 

@@ -205,9 +205,11 @@ class ExecCfg:
     tm: int
 
     def span(self, plan: TailPlan, layer: TailLayer) -> int:
-        """VMEM tile width = tm + both guards, rounded up to the 128-lane
-        tiling Mosaic requires of DMA slice shapes."""
-        return _r128(self.tm + 2 * plan.guard(layer))
+        """VMEM tile width = tm + the 128-aligned guard on both sides.
+        The guard is pre-rounded (not the sum) so interior DMA source
+        offsets i*tm - G stay 128-aligned — Mosaic requires lane-axis DMA
+        offsets to prove divisible by the tiling."""
+        return self.tm + 2 * _r128(plan.guard(layer))
 
 
 # 11.25MB of the 16MB VMEM modeled as usable by a call's working set: the
@@ -329,7 +331,7 @@ def _exec_cfg(plan: TailPlan, layer: TailLayer, itemsize: int,
     kdp = taps * _cin_pad(cin8, itemsize)       # dpatches K dimension
 
     def vmem(mode, tm):
-        span = _r128(tm + 2 * g)
+        span = tm + 2 * _r128(g)
         if mode == "dpatches":
             # patches stream straight from HBM (no input-tile buffer)
             v = 2 * kdp * tm * itemsize
@@ -411,7 +413,7 @@ def _exec_cfg(plan: TailPlan, layer: TailLayer, itemsize: int,
             c = (taps * _r128(cin8) * cout8 * rows(taps * cout8)
                  + _ASM_TAPS * taps * cin8)
         else:
-            span_f = _r128(tm + 2 * g) / tm
+            span_f = (tm + 2 * _r128(g)) / tm
             c = (_r128(cin8) * taps * cout8 * rows(taps * cout8) * span_f
                  + _ASM_KN2ROW * taps * cout8)
         # mild penalty for small tiles (per-tile fixed overheads)
@@ -632,10 +634,12 @@ def cf_to_nhwc(z, plan: TailPlan, c: int):
 
 
 def _guard(x, plan: TailPlan, layer: TailLayer, cfg: ExecCfg):
-    """Left/right zero guard bands so every tile's (cin, span) DMA slice is
-    in-bounds: left = G exactly (tap index = guard + shift stays static),
-    right = span - tm - G >= G (absorbs the 128-lane span round-up)."""
-    g = plan.guard(layer)
+    """Zero guard bands (left = right = the 128-aligned guard G) so every
+    tile's DMA slice is in-bounds. ONLY the 'dpatches' mode still streams a
+    guarded HBM copy (its per-tap DMA offsets cannot clamp per-tile); every
+    other mode reads the unguarded activation directly and handles the
+    boundary in VMEM (_stream_tile), skipping this full-array pad copy."""
+    g = _r128(plan.guard(layer))
     return jnp.pad(x, ((0, 0), (0, 0),
                        (g, cfg.span(plan, layer) - cfg.tm - g)))
 
@@ -725,32 +729,97 @@ def _op_to_kk_grad(dw, layer: TailLayer, mode: str):
 
 
 # --------------------------------------------------------------------------
-# Pallas kernels. Grid is 1-D over B * n_tiles; the guarded input streams
-# through a 2-slot double-buffered manual DMA (overlapping halo windows are
-# inexpressible as BlockSpecs).
+# Pallas kernels. Grid is 1-D over B * n_tiles; the UNGUARDED (B, C, Mp)
+# input streams through a 2-slot double-buffered manual DMA (overlapping
+# halo windows are inexpressible as BlockSpecs). Tile i's window is
+# [i*tm - G, i*tm - G + span) in x coordinates (G = 128-aligned guard);
+# the few tiles whose window leaves [0, Mp) — a static set — copy a
+# clamped window into the matching VMEM lane offset and zero-fill the
+# out-of-range lanes after the wait. This replaces the round-4 design
+# where every call padded the full activation into a guarded HBM copy
+# (`_guard`, ~400 MB/step of pure pad copies in the HNeRV calibration —
+# the "XLA glue" frontier in RESULTS.md r4); semantics are identical
+# (the zero-filled lanes hold exactly the values the pad held).
 # --------------------------------------------------------------------------
-def _dma(x_hbm, x_vmem, sem, l, n_tiles, tm, span, slot):
+@lru_cache(maxsize=512)
+def _boundary_cases(n_tiles, tm, span, guard):
+    """Static clamp set: (i, src_start, size, dst_off) for every tile whose
+    window leaves [0, Mp). All offsets/sizes are 128-aligned (guard and tm
+    are) — Mosaic requires lane-axis DMA offsets to prove 128-divisible."""
+    mp = n_tiles * tm
+    out = []
+    for i in range(n_tiles):
+        lo = i * tm - guard
+        hi = lo + span
+        if lo < 0 or hi > mp:
+            clo, chi = max(lo, 0), min(hi, mp)
+            out.append((i, clo, chi - clo, clo - lo))
+    return tuple(out)
+
+
+def _dma(x_hbm, x_vmem, sem, l, n_tiles, tm, span, guard, slot, action):
+    """Issue (action='start') or await ('wait') tile l's streaming copy.
+    Boundary tiles use their static clamped descriptor so the awaited byte
+    count matches the started one."""
     b = l // n_tiles
     i = l % n_tiles
-    return pltpu.make_async_copy(
-        x_hbm.at[b, :, pl.ds(pl.multiple_of(i * tm, 128), span)],
-        x_vmem.at[slot], sem.at[slot])
+    cases = _boundary_cases(n_tiles, tm, span, guard)
+    isb = None
+    for (bi, src, size, off) in cases:
+        p = (i == bi)
+        isb = p if isb is None else isb | p
+
+        @pl.when(p)
+        def _(src=src, size=size, off=off):
+            cp = pltpu.make_async_copy(
+                x_hbm.at[b, :, pl.ds(src, size)],
+                x_vmem.at[slot, :, pl.ds(off, size)], sem.at[slot])
+            getattr(cp, action)()
+
+    if len(cases) == n_tiles:
+        return   # tiny plan: every tile clamps; no interior branch to trace
+
+    def _interior():
+        cp = pltpu.make_async_copy(
+            x_hbm.at[b, :, pl.ds(pl.multiple_of(i * tm - guard, 128), span)],
+            x_vmem.at[slot], sem.at[slot])
+        getattr(cp, action)()
+
+    if isb is None:
+        _interior()
+    else:
+        pl.when(jnp.logical_not(isb))(_interior)
 
 
-def _stream_tile(x_hbm, x_vmem, sem, *, n_tiles, tm, span):
+def _zero_bands(x_vmem, slot, i, n_tiles, tm, span, guard):
+    """Zero the VMEM lanes a boundary tile's clamped DMA did not write
+    (the values the old guarded-HBM pad used to hold)."""
+    for (bi, _src, size, off) in _boundary_cases(n_tiles, tm, span, guard):
+        @pl.when(i == bi)
+        def _(size=size, off=off):
+            if off > 0:
+                x_vmem[slot, :, :off] = jnp.zeros_like(x_vmem[slot, :, :off])
+            if off + size < span:
+                x_vmem[slot, :, off + size:] = jnp.zeros_like(
+                    x_vmem[slot, :, off + size:])
+
+
+def _stream_tile(x_hbm, x_vmem, sem, *, n_tiles, tm, span, guard):
     """Start next tile's DMA, wait for this tile's; returns its VMEM view."""
     l = pl.program_id(0)
     nl = pl.num_programs(0)
 
     @pl.when(l == 0)
     def _():
-        _dma(x_hbm, x_vmem, sem, l, n_tiles, tm, span, 0).start()
+        _dma(x_hbm, x_vmem, sem, l, n_tiles, tm, span, guard, 0, "start")
 
     @pl.when(l + 1 < nl)
     def _():
-        _dma(x_hbm, x_vmem, sem, l + 1, n_tiles, tm, span, (l + 1) % 2).start()
+        _dma(x_hbm, x_vmem, sem, l + 1, n_tiles, tm, span, guard,
+             (l + 1) % 2, "start")
 
-    _dma(x_hbm, x_vmem, sem, l, n_tiles, tm, span, l % 2).wait()
+    _dma(x_hbm, x_vmem, sem, l, n_tiles, tm, span, guard, l % 2, "wait")
+    _zero_bands(x_vmem, l % 2, l % n_tiles, n_tiles, tm, span, guard)
     return x_vmem[l % 2]
 
 
@@ -953,7 +1022,8 @@ def _fwd_kernel(x_hbm, w_ref, b_ref, mask_ref, m_ref, z_ref, y_ref,
         acc = jnp.dot(w_ref[...], pat, preferred_element_type=jnp.float32)
     else:
         x_vmem, patches, sem = scr
-        _stream_tile(x_hbm, x_vmem, sem, n_tiles=n_tiles, tm=tm, span=span)
+        _stream_tile(x_hbm, x_vmem, sem, n_tiles=n_tiles, tm=tm, span=span,
+                     guard=guard)
         slot = pl.program_id(0) % 2
         if act_in:
             # zero borders stay zero: gelu(0) = 0
@@ -991,7 +1061,8 @@ def _dw_kernel(x_hbm, g_ref, dw_ref, db_ref, *scr,
             pat = _gelu(pat)
     else:
         x_vmem, patches, sem = scr
-        _stream_tile(x_hbm, x_vmem, sem, n_tiles=n_tiles, tm=tm, span=span)
+        _stream_tile(x_hbm, x_vmem, sem, n_tiles=n_tiles, tm=tm, span=span,
+                     guard=guard)
         slot = pl.program_id(0) % 2
         if act_in:
             _gelu_tile_inplace(x_vmem, slot, layer.cin)
@@ -1176,7 +1247,7 @@ def _conv_cf_one(x, kk, bias, out_mul, plan: TailPlan, layer: TailLayer,
     b = x.shape[0]
     cfg = _exec_cfg(plan, layer, jnp.dtype(x.dtype).itemsize,
                     "fwd2" if emit == "zy" else "fwd1")
-    xg = _guard(x, plan, layer, cfg)
+    xg = _guard(x, plan, layer, cfg) if cfg.mode == "dpatches" else x
     wm = _kk_to_op(kk, layer, cfg.mode, jnp.dtype(x.dtype).itemsize)
     nt = plan.mp // cfg.tm
     mask = border_mask(plan, out_dtype).reshape(1, plan.mp)
@@ -1185,7 +1256,7 @@ def _conv_cf_one(x, kk, bias, out_mul, plan: TailPlan, layer: TailLayer,
                            else plan.ushifts(layer)
                            if cfg.mode in ("upatches", "pupatches")
                            else plan.shifts(layer)),
-                   guard=plan.guard(layer), span=cfg.span(plan, layer),
+                   guard=_r128(plan.guard(layer)), span=cfg.span(plan, layer),
                    tm=cfg.tm, n_tiles=nt, mode=cfg.mode, layer=layer,
                    out_dtype=out_dtype, act_in=act_in)
     grid = (b * nt,)
@@ -1277,7 +1348,7 @@ def _conv_cf_dw_one(x, g, plan: TailPlan, layer: TailLayer,
     """Single-pallas_call body of :func:`_conv_cf_dw` (layer fits VMEM)."""
     b = x.shape[0]
     cfg = _exec_cfg(plan, layer, jnp.dtype(x.dtype).itemsize, "dw")
-    xg = _guard(x, plan, layer, cfg)
+    xg = _guard(x, plan, layer, cfg) if cfg.mode == "dpatches" else x
     nt = plan.mp // cfg.tm
     if cfg.mode == "qpatches":
         k_o, cin_o, cout_o, _ = layer.sparse
@@ -1307,7 +1378,7 @@ def _conv_cf_dw_one(x, g, plan: TailPlan, layer: TailLayer,
                            else plan.ushifts(layer)
                            if cfg.mode in ("upatches", "pupatches")
                            else plan.shifts(layer)),
-                   guard=plan.guard(layer), span=cfg.span(plan, layer),
+                   guard=_r128(plan.guard(layer)), span=cfg.span(plan, layer),
                    tm=cfg.tm, n_tiles=nt, mode=cfg.mode, layer=layer,
                    act_in=act_in)
     dw, db = pl.pallas_call(

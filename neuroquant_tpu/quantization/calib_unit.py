@@ -60,13 +60,22 @@ def _unit_meta(model, arch: str, unit_idx: int):
 
 
 def harvest_unit_io(model, params, arch: str, spec: QuantSpec, cali_data,
-                    batch_size: int = 10, include_act: bool = True):
+                    batch_size: int = 10, include_act: bool = True,
+                    only: int | None = None, cache_dtype=None):
     """One pass over cali_data capturing each unit's FP input/output.
 
     Uses decode(..., return_embeds=True): embeds = [embed_in, dec0_out,
     blk0_out, ..., blkN_out]. Unit inputs/outputs follow from the decoder
     dataflow (models/hnerv.py decode); batch layout matches the reference's
     batch_size=10 caching (calib_block.py:150).
+
+    `only`: harvest just that unit's (input, output) pair — the streaming
+    mode for HD clips, where caching every unit's full-resolution IO at once
+    exceeds HBM (the round-4 640x1280 OOM; the reference's answer is its
+    CPU-side cache, data_utils.py:58-88 keep_gpu=False — here each unit's
+    pair is harvested on demand and freed after its reconstruction).
+    `cache_dtype` (e.g. bf16) halves the cache; the reconstruction loss
+    upcasts per minibatch.
     """
     cfg = model.cfg
     n_blocks = len(cfg.dec_strides)
@@ -94,6 +103,13 @@ def harvest_unit_io(model, params, arch: str, spec: QuantSpec, cali_data,
         head = _get(params, spec.layer_paths[-1])
         logits = _head_conv(blk_in, head)
         taps[n_blocks + 1] = (blk_in, logits)
+        if only is not None:
+            # XLA dead-code-eliminates every other unit's tensors from the
+            # compiled program — only this unit's pair is materialized
+            taps = {only: taps[only]}
+        if cache_dtype is not None:
+            taps = {k: (i.astype(cache_dtype), o.astype(cache_dtype))
+                    for k, (i, o) in taps.items()}
         return taps
 
     outs = None
@@ -162,7 +178,7 @@ def _decode_from(model, params, spec: QuantSpec, y, unit_idx: int,
 
 def harvest_unit_grads(model, params, spec: QuantSpec, state: Dict,
                        unit_idx: int, cali_data, include_act: bool = True,
-                       batch_size: int = 1):
+                       batch_size: int = 1, cache_dtype=None):
     """|d MSE(fp_pred, quant_pred) / d(unit output)| + 1 per cali sample, the
     fisher gradient cache (save_grad_data/GetLayerGrad, data_utils.py:91-272).
     The prefix through `unit_idx` runs quantized (quantize_model_till
@@ -208,12 +224,16 @@ def harvest_unit_grads(model, params, spec: QuantSpec, state: Dict,
 
         return jax.grad(loss)(y_q)[0]
 
+    def post(g):
+        g = jnp.abs(g) + 1.0
+        return g if cache_dtype is None else g.astype(cache_dtype)
+
     grads = []
-    run = jax.jit(jax.vmap(one))
+    run = jax.jit(lambda x: post(jax.vmap(one)(x)))
     n = cali_data.shape[0]
     for s in range(0, n, batch_size):
         grads.append(run(cali_data[s:s + batch_size]))
-    return jnp.abs(jnp.concatenate(grads)) + 1.0
+    return jnp.concatenate(grads)
 
 
 def unit_reconstruction(model, params, spec: QuantSpec, state: Dict,
@@ -223,7 +243,7 @@ def unit_reconstruction(model, params, spec: QuantSpec, state: Dict,
                         warmup: float = 0.0, p: float = 2.0,
                         lr: float = 0.0015, seed: int = 903,
                         opt_mode: str = "mse", input_prob: float = 1.0,
-                        log_fn=logging.info, io=None):
+                        log_fn=logging.info, io=None, cache_dtype=None):
     """AdaRound one unit against its cached FP output. Returns updated state
     for that unit (others untouched). include_act=True == block
     reconstruction; False == layer reconstruction.
@@ -232,6 +252,10 @@ def unit_reconstruction(model, params, spec: QuantSpec, state: Dict,
     reconstructing several units of the same model so the FP forward sweep
     runs once instead of once per unit (the reference re-caches per call
     too, data_utils.py:122-205; here the loop-over-units cost is explicit).
+    With io=None the harvest streams: ONLY this unit's pair is cached (in
+    `cache_dtype`, e.g. bf16 — upcast per minibatch) and freed when the
+    unit finishes — the fix for the round-4 full-HD OOM where the shared
+    harvest parked every unit's fp32 IO in HBM at once.
     """
     name = spec.layer_names[unit_idx]
     path = spec.layer_paths[unit_idx]
@@ -245,12 +269,16 @@ def unit_reconstruction(model, params, spec: QuantSpec, state: Dict,
 
     if io is None:
         t0 = time.time()
-        io = harvest_unit_io(model, params, "", spec, cali_data)
+        io = harvest_unit_io(model, params, "", spec, cali_data,
+                             only=unit_idx, cache_dtype=cache_dtype)
         log_fn("Cached init time: {}".format(time.time() - t0))
     x_fp, y_fp = io[unit_idx]
     if not include_act:
         # layer mode reconstructs the raw conv output: recompute cheaply
-        y_fp = _apply_unit(x_fp, w, b, 1, kernel_size, None)
+        # (fp32 conv, stored back in the cache dtype)
+        y_fp = jax.jit(lambda xx: _apply_unit(
+            xx.astype(jnp.float32), w, b, 1, kernel_size,
+            None).astype(xx.dtype))(x_fp)
 
     # fisher rec losses need the cached output gradients; QDrop input mixing
     # needs the unit input under a quantized prefix ("sym" input,
@@ -259,14 +287,16 @@ def unit_reconstruction(model, params, spec: QuantSpec, state: Dict,
     if opt_mode != "mse":
         t0 = time.time()
         grads = harvest_unit_grads(model, params, spec, state, unit_idx,
-                                   cali_data, include_act=include_act)
+                                   cali_data, include_act=include_act,
+                                   cache_dtype=cache_dtype)
         log_fn("Cached grad time: {}".format(time.time() - t0))
     x_sym = None
     if input_prob < 1.0:
         qparams_till = quantize_params(params, spec, state, mode="uaq",
                                        upto=unit_idx)
-        x_sym = harvest_unit_io(model, qparams_till, "", spec,
-                                cali_data)[unit_idx][0]
+        x_sym = harvest_unit_io(model, qparams_till, "", spec, cali_data,
+                                only=unit_idx,
+                                cache_dtype=cache_dtype)[unit_idx][0]
 
     # AdaRound state for this unit (reference block recon inits from the raw
     # weight, calib_block.py:124-125; network-wise uses hadamard domain)
@@ -308,17 +338,20 @@ def unit_reconstruction(model, params, spec: QuantSpec, state: Dict,
             r = jax.random.uniform(jax.random.fold_in(drop_rng, count),
                                    inp.shape)
             inp = jnp.where(r < input_prob, inp, x_sym[idx])
+        # caches may live in a reduced dtype (streaming bf16 mode); the
+        # reconstruction math runs fp32 on the minibatch
+        inp = inp.astype(jnp.float32)
         pred = _apply_unit(inp, wq, bq, stride, kernel_size, act)
-        tgt = y_fp[idx]
+        tgt = y_fp[idx].astype(jnp.float32)
         if opt_mode == "mse":
             rec = lp_loss(pred, tgt, p=p)
         elif opt_mode == "fisher_diag":
             # ((pred-tgt)^2 * grad^2).sum(channel).mean (calib_block.py:66)
-            g = grads[idx]
+            g = grads[idx].astype(jnp.float32)
             rec = (((pred - tgt) ** 2) * g ** 2).sum(-1).mean()
         elif opt_mode == "fisher_full":
             a = jnp.abs(pred - tgt)
-            g = jnp.abs(grads[idx])
+            g = jnp.abs(grads[idx].astype(jnp.float32))
             dot = jnp.sum(a * g, axis=(1, 2, 3)).reshape(-1, 1, 1, 1)
             rec = jnp.mean(dot * a * g) / 100
         else:

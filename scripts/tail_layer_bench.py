@@ -44,6 +44,14 @@ def geometry(arch):
         h, w, c0 = 160, 320, 24
         blocks = [(3, 24, 216, 3), (3, 24, 96, 2)]
         head = (3, 24, 3)
+    elif arch == "pnerv":
+        # PNeRV post-fusion tail (configs/PNeRV/Bunny_1280x640_3M.yaml):
+        # last k=3 stride-2 NeRVBlock (100 -> 400) + 3x3 head at the
+        # (320, 640) grid — 4x HNeRV's Mp, unswept until round 5
+        # (RESULTS.md r4 decode anatomy: 8.1 ms of the 17.4 ms frame)
+        h, w, c0 = 320, 640, 100
+        blocks = [(3, 100, 400, 2)]
+        head = (3, 100, 3)
     elif arch == "hnerv_prefix":
         # the fused prefix block's 1-layer plan (blocks[2]: 64 -> 848 k=5
         # at 40x80, models/layers.run_prefix_blocks); fwd/dx/dW pins for

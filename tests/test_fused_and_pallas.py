@@ -194,6 +194,47 @@ class TestUnitReconstruction:
                                   log_fn=lambda m: None)
         assert "w_alpha" in st[spec.layer_names[1]]
 
+    def test_streaming_bf16_cache_matches_shared(self, tiny_hnerv_cfg):
+        """The HD OOM fix: per-unit streamed bf16 harvest (only=u,
+        cache_dtype=bf16) reconstructs to (nearly) the same rounding as the
+        shared fp32 harvest — bf16 targets only perturb the loss in its low
+        bits."""
+        import jax.numpy as jnp
+        from neuroquant_tpu.models import build_model, example_input
+        from neuroquant_tpu.quantization import init_quant_state, make_spec
+        from neuroquant_tpu.quantization.calib_unit import (
+            block_reconstruction, harvest_unit_io,
+        )
+
+        model = build_model("hnerv", tiny_hnerv_cfg)
+        x = example_input("hnerv", tiny_hnerv_cfg, 4)
+        params = model.init(jax.random.PRNGKey(0), x)
+        emb = model.apply(params, x, method="encode")
+        spec = make_spec("hnerv", tiny_hnerv_cfg, channel_wise=True,
+                         scale_method="max").with_bits([3] * 5)
+        state = init_quant_state(params, spec)
+
+        io_only = harvest_unit_io(model, params, "", spec, emb, only=1,
+                                  cache_dtype=jnp.bfloat16)
+        assert set(io_only.keys()) == {1}
+        assert io_only[1][0].dtype == jnp.bfloat16
+        # streamed values == shared values cast to bf16
+        io_full = harvest_unit_io(model, params, "", spec, emb)
+        np.testing.assert_array_equal(
+            np.asarray(io_only[1][1], np.float32),
+            np.asarray(io_full[1][1].astype(jnp.bfloat16), np.float32))
+
+        kw = dict(iters=120, batch_size=2, lr=0.01, log_fn=lambda m: None)
+        s_shared = block_reconstruction(model, params, spec, state, 1, emb,
+                                        io=io_full, **kw)
+        s_stream = block_reconstruction(model, params, spec, state, 1, emb,
+                                        cache_dtype=jnp.bfloat16, **kw)
+        a = np.asarray(s_shared[spec.layer_names[1]]["w_alpha"]) >= 0
+        b = np.asarray(s_stream[spec.layer_names[1]]["w_alpha"]) >= 0
+        assert np.isfinite(
+            np.asarray(s_stream[spec.layer_names[1]]["w_alpha"])).all()
+        assert (a == b).mean() > 0.9
+
 
 class TestDataParallel:
     def test_dryrun_multichip_8(self):
