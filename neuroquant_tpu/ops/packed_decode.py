@@ -256,6 +256,23 @@ def _axis_map(k: int, r: int):
     return m
 
 
+@lru_cache(maxsize=256)
+def _inv_axis_map(k: int, r: int):
+    """(k, r_in, r_out) int array: the unique dp with
+    _axis_map(k,r)[dp, a, i] == dy, or kp (a zero-pad slot) when the
+    (dy, a, i) combination maps to no packed tap."""
+    m = _axis_map(k, r)
+    kp = m.shape[0]
+    inv = np.full((k, r, r), kp, dtype=np.int32)
+    for dp in range(kp):
+        for a in range(r):
+            for i in range(r):
+                dy = int(m[dp, a, i])
+                if dy < k:
+                    inv[dy, a, i] = dp
+    return inv
+
+
 def identity_perm(r: int) -> np.ndarray:
     return np.arange(r * r, dtype=np.int64)
 
@@ -322,7 +339,61 @@ def pack_conv_kernel(w_hwio, r: int, in_perm: np.ndarray | None = None,
     output (see module docstring). Pure gather — differentiable w.r.t. w.
     `xp`: array namespace — pass `np` to pack a concrete (numpy) kernel at
     plan time without entering a jax trace (tail_fused sparse-structure
-    derivation)."""
+    derivation).
+
+    The jnp path routes through `linear_call` with a GATHER-based custom
+    transpose (_pack_kernel_transpose): XLA transposes a gather as a
+    scatter-add, which serializes on TPU and cost ~0.9 ms/step of the
+    round-5 calibration anatomy (every step re-packs the fake-quantized
+    weights, so the pack VJP runs in the hot loop). linear_call keeps
+    forward-mode intact (jvp of a linear map is the map itself) — the
+    omega HVP paths still trace jvp straight through."""
+    if xp is jnp and not isinstance(w_hwio, np.ndarray):
+        from jax._src.custom_derivatives import linear_call
+
+        k = int(w_hwio.shape[0])
+        cin, cout = int(w_hwio.shape[2]), int(w_hwio.shape[3])
+        ip = None if in_perm is None else np.asarray(in_perm)
+        op = None if out_perm is None else np.asarray(out_perm)
+        return linear_call(
+            lambda _res, w: _pack_impl(w, r, ip, op, jnp),
+            lambda _res, dkk: _pack_kernel_transpose(dkk, k, r, cin, cout,
+                                                     ip, op),
+            (), w_hwio)
+    return _pack_impl(w_hwio, r, in_perm, out_perm, xp)
+
+
+def _pack_kernel_transpose(dkk, k: int, r: int, cin: int, cout: int,
+                           in_perm, out_perm):
+    """Transpose of :func:`pack_conv_kernel` as a pure gather: dw[dy, dx] =
+    sum over the packed slots (py, a, i), (px, b, j) that read tap (dy, dx)
+    — at most one py per (dy, a, i) (_inv_axis_map), sentinel combinations
+    read a zero-pad slot."""
+    kp, _ = packed_kernel_geometry(k, r)
+    f2 = r * r
+    dkk = dkk.reshape(kp, kp, f2, cin, f2, cout)
+    # fwd gathered with q = argsort(perm); transpose of x[q] is dy[argsort(q)]
+    if in_perm is not None:
+        dkk = dkk[:, :, np.argsort(np.argsort(np.asarray(in_perm)))]
+    if out_perm is not None:
+        dkk = dkk[:, :, :, :, np.argsort(np.argsort(np.asarray(out_perm)))]
+    dkk = dkk.reshape(kp, kp, r, r, cin, r, r, cout)
+    # (py, px, a, b, ci, i, j, co) -> (py, a, i, px, b, j, ci, co)
+    # (inverse of the fwd transpose (0, 3, 1, 4, 6, 2, 5, 7))
+    dkk = dkk.transpose(0, 2, 5, 1, 3, 6, 4, 7)
+    # zero-pad slot at index kp on both packed-tap axes for sentinels
+    dkk = jnp.pad(dkk, ((0, 1), (0, 0), (0, 0), (0, 1),
+                        (0, 0), (0, 0), (0, 0), (0, 0)))
+    inv = _inv_axis_map(k, r)                       # (k, r, r) of py | kp
+    ar = np.arange(r)
+    t = dkk[inv, ar[None, :, None], ar[None, None, :]]
+    #   (dy, a, i, px1, b, j, ci, co)
+    t = t[:, :, :, inv, ar[None, :, None], ar[None, None, :]]
+    #   (dy, a, i, dx, b, j, ci, co)
+    return t.sum(axis=(1, 2, 4, 5))                 # (k, k, cin, cout)
+
+
+def _pack_impl(w_hwio, r: int, in_perm, out_perm, xp):
     k = int(w_hwio.shape[0])
     assert w_hwio.shape[1] == k and k % 2 == 1, w_hwio.shape
     cin, cout = int(w_hwio.shape[2]), int(w_hwio.shape[3])

@@ -101,6 +101,45 @@ def main():
 
     bench("loss fwd (packed cf, production)", full_loss)
 
+    # ---- round-5 isolation probes ----
+    bench("decode_cf fwd (pre-quantized)",
+          lambda st, p, f, c, idx: model.apply(
+              qp, c[idx], method="decode_cf").sum()
+          + st["head_layer"]["w_alpha"].sum() * 0)
+
+    def loss_nr(st, p, f, c, idx):
+        q = quantize_params(p, spec, st, mode="adaround")
+        pred = model.apply(q, c[idx], method="decode_cf") * mask_cf
+        return jnp.sum((pred - gt_cf[idx] * mask_cf) ** 2) / (idx.shape[0]
+                                                              * denom)
+
+    bench("loss fwd (no round_loss)", loss_nr)
+    bench("round_loss alone",
+          lambda st, p, f, c, idx: round_loss(st, spec, 10.0, 0.01))
+
+    def vag_no_round(st, p, f, c, idx):
+        loss, g = jax.value_and_grad(loss_nr)(st, p, f, c, idx)
+        return loss + sum(jnp.sum(x) * 1e-30
+                          for x in jax.tree_util.tree_leaves(g))
+
+    bench("fwd+bwd (no round_loss)", vag_no_round)
+
+    def vag_qparams(st, p, f, c, idx):
+        # gradient stops at the fake-quantized weights: isolates the
+        # quant-chain VJP (pack-gather scatter + FWHT + rounding STEs)
+        q = quantize_params(p, spec, nudge(st, idx[0]), mode="adaround")
+
+        def ploss(q):
+            pred = model.apply(q, c[idx], method="decode_cf") * mask_cf
+            return jnp.sum((pred - gt_cf[idx] * mask_cf) ** 2) / (
+                idx.shape[0] * denom)
+
+        loss, g = jax.value_and_grad(ploss)(q)
+        return loss + sum(jnp.sum(x) * 1e-30
+                          for x in jax.tree_util.tree_leaves(g))
+
+    bench("fwd+bwd wrt qparams (no quant VJP)", vag_qparams)
+
     def vag_consumed(st, p, f, c, idx):
         loss, g = jax.value_and_grad(full_loss)(st, p, f, c, idx)
         # consume every grad leaf so nothing is DCE'd
