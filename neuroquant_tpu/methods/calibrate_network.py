@@ -67,6 +67,13 @@ def parse_args(argv):
                              "(block/layer) reconstruction — network-wise "
                              "calibration rejects values != 1.0")
     parser.add_argument("--lr", default=0.0015, type=float)
+    parser.add_argument("--adaround_layers", default=None, type=int,
+                        nargs="+",
+                        help="mixed rounding: AdaRound ONLY these layer "
+                             "indices (quant-traversal order); the rest "
+                             "save round-to-nearest UAQ codes with their "
+                             "phase-1 scales. Network scope, "
+                             "--rounding adaround only")
     parser.add_argument("--rounding", default="adaround", type=str,
                         choices=["adaround", "nearest"],
                         help="'adaround' = two-phase scale + learned-rounding "
@@ -153,6 +160,10 @@ def parse_args(argv):
     if args.rounding == "nearest" and args.scope != "network":
         parser.error("--rounding nearest is a network-scope mode (unit "
                      "reconstruction is AdaRound by construction)")
+    if args.adaround_layers is not None and (args.scope != "network"
+                                             or args.rounding != "adaround"):
+        parser.error("--adaround_layers requires --scope network and "
+                     "--rounding adaround")
     return args
 
 
@@ -272,7 +283,10 @@ def calibrate(args, cfg):
             checkpoint_path=(os.path.join(args.outf, "calib_resume.pkl")
                              if args.calib_ckpt_freq else None),
             ckpt_every_epochs=max(args.calib_ckpt_freq, 1), mesh=mesh,
-            cf_pack=cf_pack, rounding=args.rounding)
+            cf_pack=cf_pack, rounding=args.rounding,
+            adaround_only=(tuple(spec.layer_names[i]
+                                 for i in args.adaround_layers)
+                           if args.adaround_layers is not None else None))
     else:
         # BRECQ/AdaRound per-unit baselines (calib_block.py:91-183,
         # calib_layer.py:89-179): reconstruct each quantizable conv against

@@ -150,7 +150,10 @@ def main(argv):
                      args.from_bitstream)
     else:
         state = jax.tree_util.tree_map(jnp.asarray, artifact["quant_state"])
-        mode = "adaround" if "w_alpha" in next(iter(state.values())) else "uaq"
+        # any-layer alpha => adaround mode; quantize_params resolves the
+        # per-layer mode from alpha presence (mixed-rounding states)
+        mode = ("adaround" if any("w_alpha" in s for s in state.values())
+                else "uaq")
         qparams = jax.jit(
             lambda p, s: quantize_params(p, spec, s, mode=mode, soft=False))(
             params, state)

@@ -208,7 +208,8 @@ def model_reconstruction(model, params, spec: QuantSpec, state: Dict,
                          checkpoint_path: str | None = None,
                          ckpt_every_epochs: int = 25, mesh=None,
                          epoch_hook=None, cf_pack="auto",
-                         rounding: str = "adaround"):
+                         rounding: str = "adaround",
+                         adaround_only: tuple | None = None):
     """Returns (calibrated QuantState, mode). After return, decode quantized
     with quantize_params(..., mode=mode, soft=False).
 
@@ -331,9 +332,16 @@ def model_reconstruction(model, params, spec: QuantSpec, state: Dict,
         return state, "uaq"
 
     # ---- Phase 2: AdaRound alphas (calib_model.py:169-228) ----
+    # adaround_only: mixed rounding — only these layers get alphas and
+    # phase-2 optimization; the rest ship round-to-nearest with their
+    # phase-1 scales (quantize_params keys the per-layer mode off alpha
+    # presence). No reference counterpart (it upgrades every quantizer).
     opt_state0 = None
     if resume is None:
-        state = adaround_upgrade(params, spec, state)
+        state = adaround_upgrade(params, spec, state, only=adaround_only)
+        if adaround_only is not None:
+            log_fn(f"[calib] mixed rounding: adaround on "
+                   f"{sorted(adaround_only)}; nearest elsewhere")
         start_epoch, count0 = 0, 0
     else:
         state = jax.tree_util.tree_map(jnp.asarray, resume["state"])

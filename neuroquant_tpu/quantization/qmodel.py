@@ -78,17 +78,28 @@ def init_quant_state(params, spec: QuantSpec) -> Dict:
     return state
 
 
-@partial(jax.jit, static_argnames=("spec",))
-def adaround_upgrade(params, spec: QuantSpec, state: Dict) -> Dict:
+@partial(jax.jit, static_argnames=("spec", "only"))
+def adaround_upgrade(params, spec: QuantSpec, state: Dict,
+                     only: tuple | None = None) -> Dict:
     """Swap-in of AdaRound: add per-element alphas, f16-cast deltas/zps
     (calib_model.py:169-191, quantizer.py:259-317). Weight alphas live in the
-    quantization domain (hadamard_weight when spec.hadamard)."""
+    quantization domain (hadamard_weight when spec.hadamard).
+
+    `only`: layer-name subset to upgrade — the rest keep their UAQ state
+    (round-to-nearest). Downstream consumers (quantize_params,
+    collect_int_codes, round_loss) key the per-layer mode off alpha
+    presence, enabling MIXED rounding — a capability the reference lacks
+    (it always AdaRounds every layer), for models like PNeRV where
+    whole-model AdaRound is net-negative (RESULTS.md round 4)."""
     new_state = {}
     for name, path in zip(spec.layer_names, spec.layer_paths):
+        s = state[name]
+        if only is not None and name not in only:
+            new_state[name] = dict(s)
+            continue
         layer = _get(params, path)
         w, b = layer["kernel"], layer["bias"]
         w_dom = _hadamard_weight(w) if spec.hadamard else w
-        s = state[name]
         wd, wz = Q.f16_round(s["w_delta"]), Q.f16_round(s["w_zp"])
         bd, bz = Q.f16_round(s["b_delta"]), Q.f16_round(s["b_zp"])
         new_state[name] = {
@@ -150,11 +161,15 @@ def quantize_params(params, spec: QuantSpec, state: Dict, mode: str = "uaq",
             break
         layer = _get(params, path)
         s = state[name]
+        # per-layer mode: a layer without alphas under mode='adaround' is a
+        # nearest-rounded (UAQ) layer — the mixed-rounding state
+        # adaround_upgrade(only=...) produces
+        lmode = mode if (mode != "adaround" or "w_alpha" in s) else "uaq"
         new_layer = dict(layer)
         new_layer["kernel"] = _fq_weight(layer["kernel"], s, bits,
-                                         spec.hadamard, mode, soft,
+                                         spec.hadamard, lmode, soft,
                                          impl=getattr(spec, "fq_impl", "jnp"))
-        new_layer["bias"] = _fq_bias(layer["bias"], s, bits, mode, soft)
+        new_layer["bias"] = _fq_bias(layer["bias"], s, bits, lmode, soft)
         out = _set(out, path, new_layer)
     return out
 
@@ -199,7 +214,7 @@ def _int_code_arrays(params, spec: QuantSpec, state: Dict, mode: str):
         w, b = layer["kernel"], layer["bias"]
         w_dom = _hadamard_weight(w) if spec.hadamard else w
         s = state[name]
-        if mode == "uaq":
+        if mode == "uaq" or "w_alpha" not in s:
             wc = Q.uaq_int_codes(w_dom, s["w_delta"], s["w_zp"], bits)
             bc = Q.uaq_int_codes(b, s["b_delta"], s["b_zp"], bits)
         else:
@@ -233,7 +248,8 @@ def round_loss(state: Dict, spec: QuantSpec, b, weight: float):
     """AdaRound regularizer over *weight* alphas only (calib_model.py:39-47)."""
     total = 0.0
     for name in spec.layer_names:
-        total = total + Q.adaround_reg(state[name]["w_alpha"], b)
+        if "w_alpha" in state[name]:     # mixed rounding: UAQ layers have
+            total = total + Q.adaround_reg(state[name]["w_alpha"], b)
     return weight * total
 
 

@@ -347,3 +347,46 @@ class TestTempDecayAndNearestRounding:
         for ln in spec.layer_names:
             w = np.asarray(codes[ln]["w"])
             assert w.min() >= 0 and w.max() <= 15
+
+
+class TestMixedRounding:
+    def test_adaround_subset(self, tiny_hnerv_cfg, frame_dir):
+        """adaround_only: only the named layers get alphas/phase-2; the
+        rest save nearest UAQ codes. quantize_params / collect_int_codes /
+        round_loss resolve the per-layer mode from alpha presence."""
+        import jax
+        import numpy as np
+        from neuroquant_tpu.data import VideoDataSet
+        from neuroquant_tpu.models import build_model
+        from neuroquant_tpu.quantization import (
+            collect_int_codes, init_quant_state, make_spec,
+            model_reconstruction, quantize_params,
+        )
+
+        ds = VideoDataSet(tiny_hnerv_cfg, frame_dir)
+        model = build_model("hnerv", tiny_hnerv_cfg)
+        params = model.init(jax.random.PRNGKey(0), ds.frames[:1])
+        emb = model.apply(params, ds.frames, method="encode")
+        spec = make_spec("hnerv", tiny_hnerv_cfg, channel_wise=True,
+                         scale_method="max").with_bits([4] * 5)
+        state0 = init_quant_state(params, spec)
+
+        sub = (spec.layer_names[1], spec.layer_names[3])
+        s, mode = model_reconstruction(
+            model, params, spec, state0, emb, ds.frames, list(range(8)),
+            arch="hnerv", batch_size=4, iters=40, warmup=0.2, lr=0.01,
+            seed=903, log_fn=lambda m: None, adaround_only=sub)
+        assert mode == "adaround"
+        for i, ln in enumerate(spec.layer_names):
+            has = "w_alpha" in s[ln]
+            assert has == (ln in sub), (i, ln)
+            for k, v in s[ln].items():
+                assert np.all(np.isfinite(np.asarray(v))), (ln, k)
+        # decode + codes work on the mixed state
+        qp = quantize_params(params, spec, s, mode="adaround", soft=False)
+        out = model.apply(qp, emb[:2], method="decode")
+        assert np.all(np.isfinite(np.asarray(out)))
+        codes = collect_int_codes(params, spec, s, mode="adaround")
+        for ln in spec.layer_names:
+            w = np.asarray(codes[ln]["w"])
+            assert w.min() >= 0 and w.max() <= 15, ln
