@@ -39,6 +39,11 @@ class PNeRVConfig:
     dec_acts: str
     packed_tail: str = "auto"   # 'auto' | 'off' (post-fusion tail packing)
     fused_tail: str = "auto"    # 'auto' | 'pallas' | 'jnp' | 'off'
+    # BSM fusion-stage compute dtype: 'bfloat16' halves the HBM traffic of
+    # the gate chain at (320, 640, 100) — measured 3.8 -> 2.4 ms/frame
+    # (scripts/pnerv_gate_probe.py); the convs keep fp32 accumulation on
+    # the MXU either way. 'float32' preserves bit-level r4 numerics.
+    bsm_dtype: str = "float32"
 
     @classmethod
     def from_cfg(cls, cfg: dict) -> "PNeRVConfig":
@@ -52,6 +57,7 @@ class PNeRVConfig:
             dec_norm=cfg["dec_norm"], dec_acts=cfg["dec_acts"],
             packed_tail=str(cfg.get("packed_tail", "auto")),
             fused_tail=str(cfg.get("fused_tail", "auto")),
+            bsm_dtype=str(cfg.get("bsm_dtype", "float32")),
         )
 
     @property
@@ -162,16 +168,39 @@ class PNeRV1(nn.Module):
         return self.encoder(img)
 
     def _fuse(self, content, x, i):
-        """One BSM fusion stage (models/PNeRV.py:80-90)."""
+        """One BSM fusion stage (models/PNeRV.py:80-90). The gate uses the
+        lerp form memory_r + att*(x - memory_r) == att*x + (1-att)*memory_r
+        (one fewer full-tensor pass; the chain is HBM-bound at
+        (320, 640, 100) — scripts/pnerv_gate_probe.py). cfg.bsm_dtype
+        'bfloat16' runs the whole stage in bf16 (result cast back)."""
         pym = self.shortcuts[i](content)
         pym = self.shortcut_norms[i](pym)
         pym = self.act_fn(pym)
         x = self.dec_layers[i](x)
+        dt = x.dtype
+        if self.cfg.bsm_dtype == "bfloat16":
+            # fp32 flax params would promote bf16 inputs back — run the
+            # three 3x3 convs explicitly on bf16 operands
+            def c3(conv, t):
+                k, b = conv(t, return_params=True)
+                dn = jax.lax.conv_dimension_numbers(
+                    t.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+                return jax.lax.conv_general_dilated(
+                    t, k.astype(t.dtype), (1, 1), [(1, 1), (1, 1)],
+                    dimension_numbers=dn) + b.astype(t.dtype)
+
+            x16 = x.astype(jnp.bfloat16)
+            pym16 = pym.astype(jnp.bfloat16)
+            memory_z = c3(self.bsm_z[i], x16)
+            memory_r = c3(self.bsm_r[i], pym16)
+            memory = jax.nn.relu(memory_z + memory_r)
+            att = jax.nn.sigmoid(c3(self.bsm_h[i], memory))
+            return (memory_r + att * (x16 - memory_r)).astype(dt)
         memory_z = self.bsm_z[i](x)
         memory_r = self.bsm_r[i](pym)
         memory = jax.nn.relu(memory_z + memory_r)
         att = jax.nn.sigmoid(self.bsm_h[i](memory))
-        return att * x + (1 - att) * memory_r
+        return memory_r + att * (x - memory_r)
 
     def _tail(self, x):
         """Post-fusion tail (last block + head + sigmoid), packed."""

@@ -307,6 +307,27 @@ _SWEEP_PINS = {
     (112, 864, 3, True, "fwd"): ("upatches", 1024),
 }
 
+# PNeRV-3M Bunny post-fusion tail (plan 320x640/2048, layers 104->400->16;
+# round-5 400-iter sweep, tail_layer_bench --arch pnerv --bwd). Model picks
+# already best for L0 dx (taps@2048 1664us) and head dx (upatches@2048
+# 987us); the pins below beat them: L0 fwd patches@1024 1579us (model
+# taps@1024 1857), L0 dW patches@2048 1016 (taps@2048 1120), head fwd
+# kn2row@2048 893 (taps@2048 1101), head dW upatches@2048 906 (taps 1221).
+_SWEEP_PINS_PNERV = {
+    (104, 400, 3, False, "fwd"): ("patches", 1024),
+    (104, 400, 3, False, "dw"): ("patches", 2048),
+    (400, 16, 3, True, "fwd"): ("kn2row", 2048),
+    (400, 16, 3, True, "dw"): ("upatches", 2048),
+}
+
+# pins apply ONLY at the plan geometry they were measured and
+# compile-verified at — a larger crop with the same channel geometry grows
+# the input-tile span and could OOM a near-budget pin
+_SWEEP_PINS_BY_PLAN = {
+    (160, 320, 2048): _SWEEP_PINS,
+    (320, 640, 2048): _SWEEP_PINS_PNERV,
+}
+
 
 @lru_cache(maxsize=512)
 def _exec_cfg(plan: TailPlan, layer: TailLayer, itemsize: int,
@@ -434,14 +455,10 @@ def _exec_cfg(plan: TailPlan, layer: TailLayer, itemsize: int,
     # config beats the model's pick, use it directly. Every pinned config
     # compiled and ran on hardware; the guard below skips a pin whose tile
     # does not divide this plan's Mp (other crops fall through to the model).
-    pin = _SWEEP_PINS.get((cin8, cout8, layer.side, sp is not None,
-                           "dw" if kind == "dw" else "fwd"))
-    if (pin is not None and itemsize == 2
-            and (plan.h, plan.w, plan.tm) == (160, 320, 2048)):
-        # pins apply ONLY at the plan geometry they were measured and
-        # compile-verified at (Bunny 160x320, tm 2048) — a larger crop with
-        # the same channel geometry grows the input-tile span and could
-        # OOM a near-budget pin; other crops use the cost model
+    pins = _SWEEP_PINS_BY_PLAN.get((plan.h, plan.w, plan.tm))
+    pin = (pins or {}).get((cin8, cout8, layer.side, sp is not None,
+                            "dw" if kind == "dw" else "fwd"))
+    if pin is not None and itemsize == 2:
         return ExecCfg(mode=pin[0], tm=pin[1])
 
     # NOTE: 'dpatches' (DMA-assembled patches) is implemented and exact but
@@ -631,6 +648,105 @@ def cf_to_nhwc(z, plan: TailPlan, c: int):
     z = z[:, :c, :plan.hp * plan.wp].reshape(b, c, plan.hp, plan.wp)
     z = z[:, :, p:p + plan.h, p:p + plan.w]
     return jnp.transpose(z, (0, 2, 3, 1))
+
+
+def _pack_cf_kernel(x_ref, o_ref):
+    """(1, rb, w, c8) NHWC row block -> (1, c8, rb, w) channels-first: the
+    in-register transpose that XLA lowers as an element-granularity relayout
+    when the input carries a conv-output layout (measured 1.65 ms/frame at
+    PNeRV's (320, 640, 100) fuse/tail boundary — the entry-side twin of the
+    unpack kernel's round-2 finding)."""
+    t = x_ref[0]
+    o_ref[0] = jnp.transpose(t, (2, 0, 1)).astype(o_ref.dtype)
+
+
+def _unpack_cf_kernel(g_ref, o_ref):
+    """Transpose of :func:`_pack_cf_kernel`: (1, c8, rb, w) -> (1, rb, w, c8)
+    (the cotangent direction)."""
+    t = g_ref[0]
+    o_ref[0] = jnp.transpose(t, (1, 2, 0)).astype(o_ref.dtype)
+
+
+_PACK_CF_BUDGET = 8 * 1024 * 1024
+
+
+def pack_cf_supported(plan: TailPlan, c: int, itemsize: int = 4) -> bool:
+    rb = 8
+    return (jax.default_backend() == "tpu"
+            and rb * plan.w * _r8(c) * (itemsize + 2) <= _PACK_CF_BUDGET)
+
+
+def _pack_cf_t(x4, out_dtype, kernel):
+    """Shared pallas_call for the (B, rb-blocked rows) transpose grid."""
+    b, d1, d2, d3 = x4.shape
+    rb = 8
+    nb = d1 // rb if kernel is _pack_cf_kernel else d2 // rb
+    if kernel is _pack_cf_kernel:
+        h8, w, c8 = d1, d2, d3
+        in_spec = pl.BlockSpec((1, rb, w, c8), lambda l, nb=nb:
+                               (l // nb, l % nb, 0, 0),
+                               memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((1, c8, rb, w), lambda l, nb=nb:
+                                (l // nb, 0, l % nb, 0),
+                                memory_space=pltpu.VMEM)
+        oshape = (b, c8, h8, w)
+    else:
+        c8, h8, w = d1, d2, d3
+        in_spec = pl.BlockSpec((1, c8, rb, w), lambda l, nb=nb:
+                               (l // nb, 0, l % nb, 0),
+                               memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((1, rb, w, c8), lambda l, nb=nb:
+                                (l // nb, l % nb, 0, 0),
+                                memory_space=pltpu.VMEM)
+        oshape = (b, h8, w, c8)
+    return pl.pallas_call(
+        kernel, grid=(b * nb,), in_specs=[in_spec], out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct(oshape, out_dtype),
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(x4)
+
+
+def pack_cf(x, plan: TailPlan, out_dtype):
+    """NHWC (B, h, w, C) -> channels-first (B, C8, Mp) with zero borders —
+    :func:`nhwc_to_cf` with the transpose as a Pallas in-register kernel and
+    the pad ring as cheap linear XLA pads. LINEAR in x; wrapped in
+    linear_call with the mirror kernel as transpose, so jvp (omega HVP) and
+    vjp (calibration backward) both work without XLA's relayout."""
+    from jax._src.custom_derivatives import linear_call
+
+    b, h, w, c = x.shape
+    assert (h, w) == (plan.h, plan.w), (x.shape, plan)
+    c8, rb = _r8(c), 8
+    h8 = -(-h // rb) * rb
+    p = plan.pad
+
+    def fwd(_res, x):
+        xp = jnp.pad(x, ((0, 0), (0, h8 - h), (0, 0), (0, c8 - c)))
+        t = _pack_cf_t(xp, out_dtype, _pack_cf_kernel)[:, :, :h, :]
+        t = jnp.pad(t, ((0, 0), (0, 0), (p, p), (p, p)))
+        t = t.reshape(b, c8, plan.hp * plan.wp)
+        return jnp.pad(t, ((0, 0), (0, 0),
+                           (0, plan.mp - plan.hp * plan.wp)))
+
+    def bwd(_res, g):
+        g = g[:, :, :plan.hp * plan.wp].reshape(b, c8, plan.hp, plan.wp)
+        g = g[:, :, p:p + h, p:p + w]
+        if h8 != h:
+            g = jnp.pad(g, ((0, 0), (0, 0), (0, h8 - h), (0, 0)))
+        t = _pack_cf_t(g, x.dtype, _unpack_cf_kernel)
+        return t[:, :h, :, :c]
+
+    return linear_call(fwd, bwd, (), x)
+
+
+def _entry_cf(x, plan: TailPlan, out_dtype):
+    """Tail-entry layout conversion: Pallas pack on TPU when the row block
+    fits VMEM, else the jnp composition."""
+    if pack_cf_supported(plan, x.shape[-1], jnp.dtype(x.dtype).itemsize):
+        return pack_cf(x, plan, out_dtype)
+    return nhwc_to_cf(x, plan).astype(out_dtype)
 
 
 def _guard(x, plan: TailPlan, layer: TailLayer, cfg: ExecCfg):
@@ -1796,6 +1912,20 @@ def _mxu_cast(x_cf, kks, bms, out_dtype):
             tuple(cast(bm) for bm in bms), jnp.bfloat16)
 
 
+def _entry_and_cast(x, plan: TailPlan, kks, bms):
+    """Entry-side layout + MXU-dtype handling: the Pallas pack kernel
+    produces the channels-first activation directly in the bf16 operand
+    dtype (one pass), weights cast as in _mxu_cast."""
+    out_dt = (jnp.bfloat16 if x.dtype == jnp.float32
+              and jax.default_backend() == "tpu" else x.dtype)
+    x_cf = _entry_cf(x, plan, out_dt)
+    if out_dt != x.dtype:
+        cast = lambda t: None if t is None else t.astype(jnp.bfloat16)
+        kks = tuple(cast(k) for k in kks)
+        bms = tuple(cast(b) for b in bms)
+    return x_cf, kks, bms
+
+
 def _tail_fn(impl: str):
     return {"pallas": tail_apply, "pallas_hvp": tail_apply_fo,
             "jnp": tail_apply_jnp}[impl]
@@ -1824,7 +1954,7 @@ def run_fused_tail(x, blocks, head, impl: str = "pallas", tm: int = 0):
     impl = _effective_impl(impl, plan, x.dtype)
     fn = _tail_fn(impl)
     dt = x.dtype
-    x_cf, kks, bms, _ = _mxu_cast(nhwc_to_cf(x, plan), kks, bms, x.dtype)
+    x_cf, kks, bms = _entry_and_cast(x, plan, kks, bms)
     z = fn(plan, x_cf, kks, bms)
     return cf_to_nhwc(z, plan, ch).astype(dt), f
 
@@ -1840,7 +1970,7 @@ def run_fused_tail_cf(x, blocks, head, impl: str = "pallas", tm: int = 0):
     impl = _effective_impl(impl, plan, x.dtype)
     fn = _tail_fn(impl)
     dt = x.dtype
-    x_cf, kks, bms, _ = _mxu_cast(nhwc_to_cf(x, plan), kks, bms, x.dtype)
+    x_cf, kks, bms = _entry_and_cast(x, plan, kks, bms)
     z = fn(plan, x_cf, kks, bms)
     return z.astype(dt), plan, ch, f
 
@@ -2017,7 +2147,7 @@ def run_fused_tail_frames(x, blocks, head, out_bias: str,
     impl = _effective_impl(impl, plan, x.dtype)
     fn = _tail_fn(impl)
     dt = x.dtype
-    x_cf, kks_c, bms_c, _ = _mxu_cast(nhwc_to_cf(x, plan), kks, bms, x.dtype)
+    x_cf, kks_c, bms_c = _entry_and_cast(x, plan, kks, bms)
     z = fn(plan, x_cf, kks_c, bms_c)
     # pallas_hvp must NOT use unpack_frames: its custom_vjp cannot be
     # forward-differentiated; the jnp unpack is jvp-capable
@@ -2082,7 +2212,7 @@ def run_fused_prefix_block(x, kernel, bias, r: int, out_channel: int,
     bm = (None if brel is None else
           jnp.pad(brel, (0, layer.cout - cout_rr)).reshape(layer.cout, 1))
     dt = x.dtype
-    x_cf, kks, bms, _ = _mxu_cast(nhwc_to_cf(x, plan), (kk,), (bm,), x.dtype)
+    x_cf, kks, bms = _entry_and_cast(x, plan, (kk,), (bm,))
     z = _tail_fn(impl if impl in ("pallas", "pallas_hvp") else "pallas")(
         plan, x_cf, kks, bms)
     return z.astype(dt), plan
