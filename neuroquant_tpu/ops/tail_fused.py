@@ -731,12 +731,15 @@ def pack_cf(x, plan: TailPlan, out_dtype):
                            (0, plan.mp - plan.hp * plan.wp)))
 
     def bwd(_res, g):
+        # XLA composition: the mirror Pallas kernel (_unpack_cf_kernel)
+        # blows Mosaic's scoped vmem in this direction (26-54M vs the 16M
+        # stack limit transposing the minor axis outward at (c8, rb, w)
+        # blocks — hit in the UVG and PNeRV calibration backwards), and the
+        # cotangent relayout is off the decode path, so the XLA transpose
+        # is acceptable here.
         g = g[:, :, :plan.hp * plan.wp].reshape(b, c8, plan.hp, plan.wp)
         g = g[:, :, p:p + h, p:p + w]
-        if h8 != h:
-            g = jnp.pad(g, ((0, 0), (0, 0), (0, h8 - h), (0, 0)))
-        t = _pack_cf_t(g, x.dtype, _unpack_cf_kernel)
-        return t[:, :h, :, :c]
+        return jnp.transpose(g, (0, 2, 3, 1))[..., :c].astype(x.dtype)
 
     return linear_call(fwd, bwd, (), x)
 
