@@ -317,7 +317,10 @@ _SWEEP_PINS_PNERV = {
     (104, 400, 3, False, "fwd"): ("patches", 1024),
     (104, 400, 3, False, "dw"): ("patches", 2048),
     (400, 16, 3, True, "fwd"): ("kn2row", 2048),
-    (400, 16, 3, True, "dw"): ("upatches", 2048),
+    # head dW: the sweep's upatches@2048 (906us) OOMs Mosaic scoped vmem by
+    # 108K under the production phase-1 backward (the recurring pin trap);
+    # @1024 (1064us) still beats the model's taps@2048 (1221us)
+    (400, 16, 3, True, "dw"): ("upatches", 1024),
 }
 
 # pins apply ONLY at the plan geometry they were measured and
